@@ -1,0 +1,103 @@
+"""Simulation configuration.
+
+The reference hard-codes everything as compile-time constants (grid size
+/root/reference/main.c:22-25, physics constants main.c:58-60, frame time
+main.c:849, substep cap main.c:851, CFL factor main.c:838, PCG budget
+main.c:735-736, marker capacity main.c:92, color periods main.c:83-84).
+Here they are all promoted to a frozen, hashable dataclass so that a single
+jitted step function can be specialised per configuration (the config is a
+static argument: changing it retraces, which matches XLA's compilation
+model of static shapes / static control flow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+Preconditioner = Literal["jacobi", "ic0", "none"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pressure-projection (PCG) budget.
+
+    Mirrors main.c:735-736 (max 100 iterations, tol 1e-6 on the infinity
+    norm of the residual).  The reference preconditions with serial
+    incomplete Cholesky (main.c:580-627); the TPU-native default is a
+    fully-parallel preconditioner, relying on the tolerance-based stopping
+    rule for float-level agreement of the converged pressure.
+    """
+
+    max_iterations: int = 100
+    tol: float = 1e-6
+    preconditioner: Preconditioner = "jacobi"
+    # float32 is the TPU-native choice; float64 (requires jax_enable_x64)
+    # reproduces the reference's double-precision CG (main.c:577-578,716).
+    dtype: str = "float32"
+    # Evaluate the convergence test every `check_every` iterations.  1 is
+    # bitwise-closest to the reference loop; larger values amortise the
+    # while_loop condition on TPU.
+    check_every: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Full simulation configuration (static under jit)."""
+
+    # Grid size in P cells, including the one-cell border ring of sinks
+    # (reference: X=100, Y=40, main.c:22-25).
+    nx: int = 100
+    ny: int = 40
+
+    # Physics constants (main.c:58-60).
+    side_length: float = 1.0   # grid cell size (m)
+    density: float = 1.0       # 2D density (kg/m^2)
+    gravity: float = -10.0     # acceleration (m/s^2)
+
+    # Stepping (main.c:838, 849-851).
+    frame_time: float = 0.1    # simulated seconds per frame
+    max_substeps: int = 8      # CFL substep cap per frame
+    cfl: float = 0.75          # max cell-widths of motion per substep
+
+    # Marker particles (main.c:92: capacity 4*Y*X).
+    markers_per_cell: int = 4
+
+    # Rendering / colour (main.c:83-84).
+    rainbow: bool = False
+    source_color_period: float = 10.0   # seconds
+    initial_color_period: float = 60.0  # grid cells
+
+    # Marker-collision march: max masked iterations of the DDA loop.
+    # With cfl <= 0.75 a particle crosses at most one x- and one y-face
+    # per substep, and each solid hit restarts the march once per axis,
+    # so 6 covers the reference while-loop (main.c:495-533) with slack.
+    marker_march_iters: int = 6
+
+    solver: SolverConfig = SolverConfig()
+
+    # Compute dtype for grid fields (velocities, colours).  The reference
+    # uses float throughout the grid (main.c:64-82).
+    dtype: str = "float32"
+
+    @property
+    def max_markers(self) -> int:
+        # main.c:92 MAX_MARKER_COUNT = 4*Y*X
+        return self.markers_per_cell * self.nx * self.ny
+
+    @property
+    def u_shape(self):
+        # U samples live between horizontal P pairs: [Y, X-1] (main.c:34-44)
+        return (self.ny, self.nx - 1)
+
+    @property
+    def v_shape(self):
+        # V samples live between vertical P pairs: [Y-1, X] (main.c:34-44)
+        return (self.ny - 1, self.nx)
+
+    @property
+    def p_shape(self):
+        return (self.ny, self.nx)
+
+
+DEFAULT_CONFIG = SimConfig()

@@ -1,0 +1,271 @@
+"""Marker-particle tracking: counts, advection with solid collision,
+and source emission.
+
+Reference pieces:
+  * refresh_marker_counts (/root/reference/main.c:102-117): bin markers
+    to cells, delete those in sink/solid cells, keep previous counts.
+  * advect_markers (main.c:464-537): per-particle DDA march across cell
+    faces, zeroing a velocity component on hitting a solid face.
+  * update_fluid_sources (main.c:276-298): sequential emission of at most
+    one marker per source cell per substep, capped globally, consuming
+    the shared xorshift64* stream in y-major cell order.
+
+TPU-native reformulations:
+  * markers live in a fixed-capacity [M, 2] array with an alive mask
+    instead of the reference's swap-remove compaction (main.c:109-115);
+    per-cell counts (the observable) are order-independent.
+  * the DDA while-loop becomes a fixed number of masked iterations over
+    all particles at once; with cfl <= 0.75 the march terminates within
+    a handful of iterations (see SimConfig.marker_march_iters).
+  * emission is a lax.scan over the static source-cell list, reproducing
+    the serial append/cap/RNG semantics; freed slots are reused so the
+    capacity behaviour matches the compacting reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core import rng as rng_mod
+from euler_tpu.core.state import FluidState, Scenario
+from euler_tpu.ops.interp import interpolate_u, interpolate_v
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def marker_cells(cfg: SimConfig, markers):
+    """floor(position / h) per marker (main.c:106-107)."""
+    inv_h = np.float32(1.0) / np.float32(cfg.side_length)
+    xi = jnp.floor(markers[:, 0] * inv_h).astype(jnp.int32)
+    yi = jnp.floor(markers[:, 1] * inv_h).astype(jnp.int32)
+    return yi, xi
+
+
+def refresh_marker_counts(cfg: SimConfig, scn: Scenario, state: FluidState):
+    """main.c:102-117 as alive-mask + scatter-add histogram."""
+    yi, xi = marker_cells(cfg, state.markers)
+    yi = jnp.clip(yi, 0, cfg.ny - 1)
+    xi = jnp.clip(xi, 0, cfg.nx - 1)
+    doomed = scn.sink[yi, xi] | scn.solid[yi, xi]
+    alive = state.alive & ~doomed
+    counts = jnp.zeros((cfg.ny, cfg.nx), jnp.int32).at[yi, xi].add(
+        alive.astype(jnp.int32), mode="drop"
+    )
+    return state.replace(
+        prev_marker_count=state.marker_count,
+        marker_count=counts,
+        alive=alive,
+        alive_count=jnp.sum(alive).astype(jnp.int32),
+    )
+
+
+def velocity_at(cfg: SimConfig, u, v, fluid, px, py):
+    """Staggered velocity sample at world positions (main.c:440-449)."""
+    inv_h = np.float32(1.0) / np.float32(cfg.side_length)
+    vx = interpolate_u(cfg, u, fluid, px * inv_h - 1.0, py * inv_h - 0.5)
+    vy = interpolate_v(cfg, v, fluid, px * inv_h - 0.5, py * inv_h - 1.0)
+    return vx, vy
+
+
+def _time_to(p0, p1, vel):
+    """main.c:451-457: (p1 - p0) / v, FLT_MAX for zero velocity."""
+    nz = jnp.abs(vel) > 0.0
+    return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
+
+
+def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+    """main.c:464-537 vectorised over all marker slots.
+
+    The reference's data-dependent while-loop runs while the next face
+    crossing is within the remaining dt; every particle here executes
+    `marker_march_iters` masked iterations instead (inactive lanes carry
+    their state through unchanged), which is exactly equivalent provided
+    the true trip count never exceeds the bound — guaranteed by the CFL
+    limit on |v|*dt.
+    """
+    h = np.float32(cfg.side_length)
+    solid = scn.solid
+
+    px = state.markers[:, 0]
+    py = state.markers[:, 1]
+    vx, vy = velocity_at(cfg, state.u, state.v, state.fluid, px, py)
+
+    inv_h = np.float32(1.0) / h
+    x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
+    y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
+
+    # next horizontal intersect (main.c:473-481)
+    x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
+    nx_idx = x_idx + (vx > 0)
+    npx = nx_idx.astype(px.dtype) * h
+    t_x = _time_to(px, npx, vx)
+    x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
+
+    # next vertical intersect (main.c:483-491)
+    y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
+    ny_idx = y_idx + (vy > 0)
+    npy = ny_idx.astype(py.dtype) * h
+    t_y = _time_to(py, npy, vy)
+    y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
+
+    t_prev = jnp.zeros_like(px)
+    t_near = jnp.minimum(t_x, t_y)
+    dt_rem = jnp.zeros_like(px) + dt
+
+    def gather_solid(yy, xx):
+        yy = jnp.clip(yy, 0, cfg.ny - 1)
+        xx = jnp.clip(xx, 0, cfg.nx - 1)
+        return solid[yy, xx]
+
+    def body(_, c):
+        (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+         t_x, t_y, t_prev, t_near, dt_rem) = c
+        active = t_near < dt_rem
+        horiz = t_x < t_y
+
+        hit_h = active & horiz & gather_solid(y_idx, nx_idx + x_off)
+        adv_h = active & horiz & ~hit_h
+        hit_v = active & ~horiz & gather_solid(ny_idx + y_off, x_idx)
+        adv_v = active & ~horiz & ~hit_v
+        hit = hit_h | hit_v
+
+        # hit: advance to the last crossing, zero the component
+        # (main.c:498-505, 515-521)
+        px1 = jnp.where(hit, px + t_prev * vx, px)
+        py1 = jnp.where(hit, py + t_prev * vy, py)
+        dt1 = jnp.where(hit, dt_rem - t_prev, dt_rem)
+        vx1 = jnp.where(hit_h, 0.0, vx)
+        vy1 = jnp.where(hit_v, 0.0, vy)
+
+        # crossing: step to the next face (main.c:507-511, 523-528)
+        x_idx1 = jnp.where(adv_h, nx_idx, x_idx)
+        nx_idx1 = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
+        npx1 = jnp.where(adv_h, nx_idx1.astype(px.dtype) * h, npx)
+        y_idx1 = jnp.where(adv_v, ny_idx, y_idx)
+        ny_idx1 = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
+        npy1 = jnp.where(adv_v, ny_idx1.astype(py.dtype) * h, npy)
+
+        # recompute both times; for untouched lanes this reproduces the
+        # stored value bit-for-bit (same inputs), and a zeroed component
+        # yields FLT_MAX exactly as the reference sets it.
+        t_x1 = jnp.where(active, _time_to(px1, npx1, vx1), t_x)
+        t_y1 = jnp.where(active, _time_to(py1, npy1, vy1), t_y)
+
+        t_prev1 = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
+        t_near1 = jnp.where(active, jnp.minimum(t_x1, t_y1), t_near)
+
+        return (px1, py1, vx1, vy1, x_idx1, y_idx1, nx_idx1, ny_idx1,
+                npx1, npy1, t_x1, t_y1, t_prev1, t_near1, dt1)
+
+    carry = (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+             t_x, t_y, t_prev, t_near, dt_rem)
+    (px, py, vx, vy, _, _, _, _, _, _,
+     _, _, t_prev, t_near, dt_rem) = jax.lax.fori_loop(
+        0, cfg.marker_march_iters, body, carry
+    )
+
+    # main.c:534-535
+    t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
+    new_x = px + t * vx
+    new_y = py + t * vy
+    new_markers = jnp.stack(
+        [
+            jnp.where(state.alive, new_x, state.markers[:, 0]),
+            jnp.where(state.alive, new_y, state.markers[:, 1]),
+        ],
+        axis=1,
+    )
+    return state.replace(markers=new_markers)
+
+
+def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
+    """main.c:276-298.
+
+    Emission is sequential in y-major cell order because each append
+    consumes the shared RNG stream and the global capacity check is
+    order-dependent; the scan is over the (static, small) source list.
+    Source-cell colours are refreshed every substep regardless of
+    emission (main.c:292-294).
+    """
+    S = scn.num_sources
+    max_count = cfg.max_markers
+
+    # Source-cell colours are refreshed unconditionally (main.c:292-294),
+    # with the same phase t for every source cell.
+    from euler_tpu.ops.color import hsv_basis
+
+    t = (
+        np.float32(0.6) / np.float32(cfg.source_color_period)
+    ) * state.frame_count.astype(state.r.dtype)
+    src = scn.source
+    state = state.replace(
+        r=jnp.where(src, hsv_basis(t + 2.0), state.r),
+        g=jnp.where(src, hsv_basis(t), state.g),
+        b=jnp.where(src, hsv_basis(t - 2.0), state.b),
+    )
+
+    if S == 0:
+        return state
+
+    # entry capacity check (main.c:281)
+    exhausted = state.source_exhausted | (state.alive_count == max_count - 1)
+
+    ys = scn.source_yx[:, 0]
+    xs = scn.source_yx[:, 1]
+    counts_at_src = state.marker_count[ys, xs]
+
+    h = np.float32(cfg.side_length)
+
+    def emit_one(carry, inp):
+        rng, alive_count, exhausted, emit_rank = carry
+        y, x, count = inp
+        can = (~exhausted) & (count < cfg.markers_per_cell)
+
+        # The reference consumes randf() twice inside a single call
+        # expression (main.c:288) whose evaluation order C leaves
+        # unspecified; we fix x-jitter first, matching the well-defined
+        # order used at init (main.c:260-261).
+        rx, rng_a = rng_mod.randf32(rng)
+        ry, rng_b = rng_mod.randf32(rng_a)
+        rng = jnp.where(can, rng_b, rng)
+
+        pos_x = (x.astype(rx.dtype) + rx) * h
+        pos_y = (y.astype(ry.dtype) + ry) * h
+
+        rank = emit_rank
+        emit_rank = emit_rank + can.astype(jnp.int32)
+        alive_count = alive_count + can.astype(jnp.int32)
+        exhausted = exhausted | (alive_count == max_count - 1)
+        return (rng, alive_count, exhausted, emit_rank), (can, rank, pos_x, pos_y)
+
+    (rng, alive_count, exhausted, _), (cans, ranks, pos_x, pos_y) = jax.lax.scan(
+        emit_one,
+        (state.rng, state.alive_count, exhausted, jnp.int32(0)),
+        (ys, xs, counts_at_src),
+    )
+
+    # place emitted markers into the first free slots (the reference
+    # appends to its compacted array; freed slots here play that role)
+    free_slots = jnp.nonzero(~state.alive, size=S, fill_value=0)[0]
+    slots = free_slots[jnp.clip(ranks, 0, S - 1)]
+    # route non-emitting lanes to a dummy out-of-range slot (dropped)
+    slots = jnp.where(cans, slots, cfg.max_markers)
+
+    markers = state.markers.at[slots, 0].set(pos_x, mode="drop")
+    markers = markers.at[slots, 1].set(pos_y, mode="drop")
+    alive = state.alive.at[slots].set(True, mode="drop")
+    marker_count = state.marker_count.at[ys, xs].add(
+        cans.astype(jnp.int32), mode="drop"
+    )
+
+    return state.replace(
+        markers=markers,
+        alive=alive,
+        marker_count=marker_count,
+        alive_count=alive_count,
+        source_exhausted=exhausted,
+        rng=rng,
+    )

@@ -1,0 +1,124 @@
+"""Step orchestration: one frame = up to `max_substeps` CFL substeps.
+
+Reproduces sim_step (/root/reference/main.c:843-900) as a pure
+`state -> state` function.  The reference's data-dependent substep loop
+(`for step while frame_time > 0 && step < 8`, main.c:851) becomes a
+fixed-trip lax.scan with an activity mask — XLA traces one substep once
+and the select carries inactive iterations through unchanged, which keeps
+the whole frame jittable, vmappable over batched scenarios, and shardable.
+
+Substep ordering (main.c:855-893):
+  timestep -> advect markers -> refresh counts -> [rainbow: extrapolate
+  colours] -> sources -> extrapolate u,v -> zero_bounds u,v -> advect
+  u,v[,colours] -> gravity -> zero_bounds -> project.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core.state import FluidState, Scenario
+from euler_tpu.ops.advect import advect_p, advect_u, advect_v
+from euler_tpu.ops.extrapolate import extrapolate
+from euler_tpu.ops.forces import apply_body_forces, calculate_timestep, zero_bounds
+from euler_tpu.ops.markers import (
+    advect_markers,
+    refresh_marker_counts,
+    update_fluid_sources,
+)
+from euler_tpu.ops.project import project
+
+
+def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+    """One CFL substep (the body of main.c:851-893), dt already chosen."""
+    solid = scn.solid
+
+    # marker pass uses the velocity field and fluid mask from the end of
+    # the previous substep (including last substep's source emissions)
+    state = advect_markers(cfg, scn, state, dt)
+    state = refresh_marker_counts(cfg, scn, state)
+
+    if cfg.rainbow:
+        # colours extrapolate before sources run (main.c:859-863)
+        fluid, prev = state.fluid, state.prev_fluid
+        state = state.replace(
+            r=extrapolate(cfg, state.r, fluid, prev, "p"),
+            g=extrapolate(cfg, state.g, fluid, prev, "p"),
+            b=extrapolate(cfg, state.b, fluid, prev, "p"),
+        )
+
+    state = update_fluid_sources(cfg, scn, state)
+
+    # velocity extrapolation and boundary zeroing see the post-emission
+    # fluid mask (emission increments marker_count, main.c:289)
+    fluid, prev = state.fluid, state.prev_fluid
+    u = extrapolate(cfg, state.u, fluid, prev, "u")
+    v = extrapolate(cfg, state.v, fluid, prev, "v")
+    u = zero_bounds(cfg, u, fluid, solid, "u")
+    v = zero_bounds(cfg, v, fluid, solid, "v")
+
+    ut = advect_u(cfg, u, v, fluid, dt)
+    vt = advect_v(cfg, u, v, fluid, dt)
+    if cfg.rainbow:
+        state = state.replace(
+            r=advect_p(cfg, state.r, u, v, fluid, dt),
+            g=advect_p(cfg, state.g, u, v, fluid, dt),
+            b=advect_p(cfg, state.b, u, v, fluid, dt),
+        )
+
+    vt = apply_body_forces(cfg, vt, dt)
+    ut = zero_bounds(cfg, ut, fluid, solid, "u")
+    vt = zero_bounds(cfg, vt, fluid, solid, "v")
+
+    u2, v2, _info = project(cfg, dt, ut, vt, fluid, solid)
+    return state.replace(u=u2, v=v2)
+
+
+def _tree_select(pred, on_true, on_false):
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
+    """One 0.1 s frame: masked fixed-trip substep loop + frame counter."""
+    f = state.u.dtype
+
+    def body(carry, _):
+        state, frame_time = carry
+        active = frame_time > 0.0
+        dt = calculate_timestep(cfg, state.u, state.v, frame_time)
+        # inactive lanes still trace the substep; give them a harmless dt
+        dt = jnp.where(active, dt, jnp.asarray(1.0, f))
+        new_state = substep(cfg, scn, state, dt)
+        state = _tree_select(active, new_state, state)
+        frame_time = jnp.where(active, frame_time - dt, frame_time)
+        return (state, frame_time), None
+
+    frame_time0 = jnp.asarray(cfg.frame_time, f)
+    (state, _), _ = jax.lax.scan(
+        body, (state, frame_time0), None, length=cfg.max_substeps
+    )
+    return state.replace(frame_count=state.frame_count + 1)
+
+
+@partial(jax.jit, static_argnums=0)
+def step_frame_jit(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
+    return step_frame(cfg, scn, state)
+
+
+def run_frames(cfg: SimConfig, scn: Scenario, state: FluidState, n: int):
+    """Scan `n` frames on device (benchmark / headless path)."""
+
+    def body(state, _):
+        return step_frame(cfg, scn, state), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def run_frames_jit(cfg: SimConfig, scn, state, n: int):
+    return run_frames(cfg, scn, state, n)

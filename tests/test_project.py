@@ -1,0 +1,144 @@
+"""Pressure projection tests: oracle comparison + physical invariants."""
+
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from euler_tpu.config import SimConfig, SolverConfig
+from euler_tpu.ops.project import (
+    apply_a,
+    divergence_rhs,
+    pressure_matrix_diag,
+    project,
+    solve_pressure,
+)
+
+from helpers import read_scenario, scenario_from_oracle, state_from_oracle
+from oracle.oracle import Oracle
+
+
+@pytest.fixture(scope="module")
+def rolled():
+    ora = Oracle(read_scenario("basic.txt"))
+    for _ in range(3):
+        ora.sim_step()
+    return ora
+
+
+def test_rhs_and_diag_match(rolled):
+    cfg = SimConfig(solver=SolverConfig(dtype="float64"))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    dt = np.float32(0.02)
+
+    ora = copy.deepcopy(rolled)
+    b_want = np.zeros((cfg.ny, cfg.nx), np.float64)
+    k_inv = np.float64(np.float32(1.0 * 1.0 / dt))
+    for y, x in ora._fluid_cells():
+        div = np.float32(
+            (ora.u[y, x] - ora.u[y, x - 1] + ora.v[y, x] - ora.v[y - 1, x]) / 1.0
+        )
+        b_want[y, x] = -np.float64(div) * k_inv
+
+    b_got = np.asarray(divergence_rhs(cfg, st.u, st.v, st.fluid, jnp.float32(dt)))
+    np.testing.assert_allclose(b_got, b_want, rtol=1e-12)
+
+    a_want = ora.a_diag()
+    a_got = np.asarray(pressure_matrix_diag(cfg, scn.solid, st.fluid))
+    np.testing.assert_array_equal(a_got, a_want.astype(np.int32))
+
+
+def test_apply_a_matches(rolled):
+    cfg = SimConfig(solver=SolverConfig(dtype="float64"))
+    st = state_from_oracle(rolled, cfg)
+    scn = scenario_from_oracle(rolled)
+    fluid = np.asarray(st.fluid)
+
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal((cfg.ny, cfg.nx)) * fluid
+    a = np.asarray(pressure_matrix_diag(cfg, scn.solid, st.fluid))
+
+    want = rolled.apply_a(a.astype(np.int8), s)
+    got = np.asarray(apply_a(jnp.asarray(a), st.fluid, jnp.asarray(s)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_pressure_matches_oracle_converged(rolled):
+    """Different preconditioners, same converged pressure (tol-bounded)."""
+    cfg = SimConfig(solver=SolverConfig(dtype="float64", max_iterations=400))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    dt = np.float32(0.02)
+
+    ora = copy.deepcopy(rolled)
+    uout = ora.u.copy()
+    vout = ora.v.copy()
+    ora.project(dt, ora.u, ora.v, uout, vout)
+    p_want = ora.last_pressure
+
+    b = divergence_rhs(cfg, st.u, st.v, st.fluid, jnp.float32(dt))
+    a = pressure_matrix_diag(cfg, scn.solid, st.fluid)
+    p_got, iters, resid = solve_pressure(cfg, b, a, st.fluid)
+    assert float(resid) <= cfg.solver.tol
+    # both residuals <= 1e-6; ||p - p*|| <= ||A^-1|| * 2e-6, modest here
+    np.testing.assert_allclose(np.asarray(p_got), p_want, atol=1e-4)
+
+
+def test_project_velocity_update_matches(rolled):
+    cfg = SimConfig(solver=SolverConfig(dtype="float64", max_iterations=400))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    dt = np.float32(0.02)
+
+    ora = copy.deepcopy(rolled)
+    uout = ora.u.copy()
+    vout = ora.v.copy()
+    ora.project(dt, ora.u, ora.v, uout, vout)
+
+    u2, v2, info = project(cfg, jnp.float32(dt), st.u, st.v, st.fluid, scn.solid)
+    np.testing.assert_allclose(np.asarray(u2), uout, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), vout, atol=1e-4)
+
+
+def test_projection_kills_divergence(rolled):
+    """Post-projection velocity is (near) divergence-free on fluid cells
+    whose pressure was not clamped (the clamp intentionally leaves
+    divergence at negative-pressure cells, main.c:769-779)."""
+    cfg = SimConfig(solver=SolverConfig(dtype="float64", max_iterations=400))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    dt = np.float32(0.02)
+
+    u2, v2, info = project(cfg, jnp.float32(dt), st.u, st.v, st.fluid, scn.solid)
+    u2 = np.asarray(u2)
+    v2 = np.asarray(v2)
+    fluid = np.asarray(st.fluid)
+    p = np.asarray(info["pressure"])
+
+    div = np.zeros_like(u2)
+    div[1:-1, 1:-1] = (
+        u2[1:-1, 1:-1] - u2[1:-1, 0:-2] + v2[1:-1, 1:-1] - v2[0:-2, 1:-1]
+    )
+    interior_unclamped = fluid & (p > 0)
+    # clamped-neighbour cells also keep divergence; require the rest clean
+    nb_clamped = np.zeros_like(fluid)
+    clamped = fluid & (p == 0)
+    nb_clamped[1:-1, 1:-1] = (
+        clamped[1:-1, 0:-2] | clamped[1:-1, 2:] | clamped[0:-2, 1:-1] | clamped[2:, 1:-1]
+    )
+    check = interior_unclamped & ~nb_clamped
+    assert float(info["residual"]) <= cfg.solver.tol
+    if check.any():
+        assert np.abs(div[check]).max() < 1e-4
+
+
+def test_zero_rhs_skips_solve():
+    cfg = SimConfig(solver=SolverConfig(dtype="float64"))
+    fluid = jnp.zeros((cfg.ny, cfg.nx), bool).at[5:10, 5:10].set(True)
+    b = jnp.zeros((cfg.ny, cfg.nx), jnp.float64)
+    a = jnp.full((cfg.ny, cfg.nx), 4, jnp.int32)
+    p, iters, resid = solve_pressure(cfg, b, a, fluid)
+    assert int(iters) == 0
+    assert float(jnp.abs(p).max()) == 0.0
