@@ -1,0 +1,78 @@
+"""Headline benchmark: cell-steps/sec/chip at 1024² (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline measures against the reference's derived throughput ceiling
+of ~3.2e5 cell-steps/sec (BASELINE.md: 4,000 cells x 8 substeps x 10 FPS,
+pacing-bound single thread).
+
+A cell-step is one grid cell advanced by one CFL substep of the full
+pipeline (marker advection + counts + extrapolation + grid advection +
+gravity + PCG projection).  Each frame runs the reference's full substep
+budget (8), so cell-steps = cells * 8 * frames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+REFERENCE_CELL_STEPS_PER_SEC = 3.2e5  # BASELINE.md derived ceiling
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--warmup-frames", type=int, default=1)
+    ap.add_argument("--pcg-iters", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from euler_tpu.config import SimConfig, SolverConfig
+    from euler_tpu.core.presets import dam_break
+    from euler_tpu.sim import run_frames_jit
+
+    cfg = SimConfig(
+        nx=args.size,
+        ny=args.size,
+        solver=SolverConfig(
+            max_iterations=args.pcg_iters, tol=1e-6, dtype="float32"
+        ),
+    )
+    scn, state = dam_break(cfg)
+
+    # compile + warmup (also advances into a dynamically active flow state)
+    state = run_frames_jit(cfg, scn, state, args.warmup_frames)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    state = run_frames_jit(cfg, scn, state, args.frames)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    cells = cfg.nx * cfg.ny
+    cell_steps = cells * cfg.max_substeps * args.frames
+    value = cell_steps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": f"cell-steps/sec/chip at {args.size}^2",
+                "value": value,
+                "unit": "cell-steps/s",
+                "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Interactive CLI driver.
+
+Usage (same surface as /root/reference/main.c:982-1002):
+
+    python -m euler_tpu [--rainbow] <scenario>
+
+plus TPU-era extensions: --size YxX, --fps, --frames (headless), --preset.
+
+Keys (main.c:961-980): p pause, f single-frame, r re-colorize, q quit.
+Fixed 10 FPS pacing (main.c:1034-1038, misc/time.c:17-31).
+
+The renderer is decoupled from the physics: a render thread consumes the
+latest gathered frame and writes to the terminal, so the device step loop
+never blocks on terminal I/O (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import threading
+import time
+
+
+def parse_args(argv):
+    ap = argparse.ArgumentParser(
+        prog="euler_tpu", description="TPU-native Eulerian liquid simulator"
+    )
+    ap.add_argument("scenario", help="scenario file, or preset:<name> (dam_break, block_obstacles)")
+    ap.add_argument("--rainbow", action="store_true")
+    ap.add_argument("--size", default=None, help="grid size YxX (default 40x100)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help="run N frames headless and exit (no terminal UI)")
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return ap.parse_args(argv)
+
+
+def _build(args):
+    from euler_tpu.config import SimConfig
+
+    ny, nx = 40, 100
+    if args.size:
+        ny, nx = (int(t) for t in args.size.lower().split("x"))
+    cfg = SimConfig(nx=nx, ny=ny, rainbow=args.rainbow)
+
+    if args.scenario.startswith("preset:"):
+        from euler_tpu.core import presets
+
+        name = args.scenario.split(":", 1)[1]
+        scn, state = getattr(presets, name)(cfg)
+    else:
+        from euler_tpu.core.scenario import load_scenario
+
+        try:
+            scn, state = load_scenario(args.scenario, cfg)
+        except OSError:
+            print(f"Could not load {args.scenario}!", file=sys.stderr)
+            sys.exit(1)
+    return cfg, scn, state
+
+
+def run_headless(args):
+    import jax
+
+    from euler_tpu.sim import run_frames_jit
+
+    cfg, scn, state = _build(args)
+    t0 = time.perf_counter()
+    state = run_frames_jit(cfg, scn, state, args.frames)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    print(
+        f"{args.frames} frames ({cfg.nx}x{cfg.ny}) in {dt:.3f}s "
+        f"= {args.frames / dt:.1f} frames/s, "
+        f"{cfg.nx * cfg.ny * cfg.max_substeps * args.frames / dt:.3g} cell-steps/s"
+    )
+
+
+def run_interactive(args):
+    from euler_tpu.ops.color import colorize
+    from euler_tpu.render import terminal as term
+    from euler_tpu.render.ansi import draw_frame
+    from euler_tpu.sim import step_frame_jit
+
+    cfg, scn, state = _build(args)
+
+    window = {}
+
+    def update_window_size(*_sig):
+        rows, cols = term.get_window_size()
+        window["rows"], window["cols"] = rows, cols
+        term.clear_screen_now()
+
+    update_window_size()
+    term.set_window_size_handler(update_window_size)
+
+    # async renderer: latest-frame queue, drops stale frames
+    frames: "queue.Queue[bytes]" = queue.Queue(maxsize=1)
+    stop = threading.Event()
+
+    def render_loop():
+        while not stop.is_set():
+            try:
+                buf = frames.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            term._write(buf)
+
+    rt = threading.Thread(target=render_loop, daemon=True)
+    rt.start()
+
+    term.enable_raw_mode()
+    term.clear_screen_now()
+
+    paused = False
+    temp_unpause = 0
+    frame_period = 1.0 / args.fps
+    start = time.monotonic()
+    try:
+        while True:
+            c = term.read_key()
+            if c == "p":
+                paused = not paused
+            elif c == "f":
+                temp_unpause += 1
+            elif c == "r" and cfg.rainbow:
+                state = colorize(cfg, scn, state)
+            elif c == "q":
+                term.clear_screen_now()
+                break
+
+            if not paused or temp_unpause > 0:
+                state = step_frame_jit(cfg, scn, state)
+                if temp_unpause:
+                    temp_unpause -= 1
+
+            # pacing before draw, as the reference orders it (main.c:1034-1037)
+            now = time.monotonic()
+            wait = frame_period - (now - start)
+            if wait > 0:
+                time.sleep(wait)
+            start = time.monotonic()
+
+            buf = draw_frame(cfg, scn, state, window["rows"], window["cols"])
+            try:  # drop the stale frame if the renderer is behind
+                frames.put_nowait(buf)
+            except queue.Full:
+                try:
+                    frames.get_nowait()
+                except queue.Empty:
+                    pass
+                frames.put_nowait(buf)
+    finally:
+        stop.set()
+        rt.join(timeout=1.0)
+
+
+def main(argv=None):
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.frames:
+        run_headless(args)
+    else:
+        run_interactive(args)
+
+
+if __name__ == "__main__":
+    main()

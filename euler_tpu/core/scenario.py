@@ -104,13 +104,13 @@ def _source_scan_order(source: np.ndarray) -> np.ndarray:
     return np.stack([ys, xs], axis=1).astype(np.int32)
 
 
-def load_scenario(path: str, cfg: SimConfig):
+def load_scenario(path: str, cfg: SimConfig, pad_sources: int | None = None):
     with open(path, "rb") as f:
         text = f.read()
-    return build_scenario(text, cfg)
+    return build_scenario(text, cfg, pad_sources)
 
 
-def build_scenario(text, cfg: SimConfig):
+def build_scenario(text, cfg: SimConfig, pad_sources: int | None = None):
     """Build (Scenario, FluidState) from scenario text.
 
     The xorshift64* stream starts at the reference seed; whatever remains
@@ -127,11 +127,22 @@ def build_scenario(text, cfg: SimConfig):
             f"scenario seeds {n} markers, exceeds capacity {cfg.max_markers}"
         )
 
+    source_yx = _source_scan_order(source)
+    n_src = source_yx.shape[0]
+    pad = n_src if pad_sources is None else pad_sources
+    if pad < n_src:
+        raise ValueError(f"pad_sources={pad} < actual source count {n_src}")
+    valid = np.zeros((pad,), bool)
+    valid[:n_src] = True
+    padded = np.zeros((pad, 2), np.int32)
+    padded[:n_src] = source_yx
+
     scn = Scenario(
         solid=jnp.asarray(solid),
         source=jnp.asarray(source),
         sink=jnp.asarray(sink),
-        source_yx=jnp.asarray(_source_scan_order(source)),
+        source_yx=jnp.asarray(padded),
+        source_valid=jnp.asarray(valid),
     )
 
     state = zeros_state(cfg, gen.state_u32_pair())

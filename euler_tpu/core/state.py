@@ -36,8 +36,11 @@ class Scenario:
     sink: jax.Array     # bool [Y, X]
     # Source cell coordinates in update_fluid_sources scan order
     # (y-major ascending, main.c:284-285), shape [S, 2] int32 rows (y, x).
-    # S is static per scenario, so jit specialises on it.
+    # S is static per scenario, so jit specialises on it.  The list may be
+    # padded (for batching scenarios with different source counts);
+    # source_valid masks real entries.
     source_yx: jax.Array
+    source_valid: jax.Array  # bool [S]
 
     @property
     def num_sources(self) -> int:

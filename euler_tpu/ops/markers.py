@@ -221,8 +221,8 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
 
     def emit_one(carry, inp):
         rng, alive_count, exhausted, emit_rank = carry
-        y, x, count = inp
-        can = (~exhausted) & (count < cfg.markers_per_cell)
+        y, x, count, valid = inp
+        can = valid & (~exhausted) & (count < cfg.markers_per_cell)
 
         # The reference consumes randf() twice inside a single call
         # expression (main.c:288) whose evaluation order C leaves
@@ -244,7 +244,7 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
     (rng, alive_count, exhausted, _), (cans, ranks, pos_x, pos_y) = jax.lax.scan(
         emit_one,
         (state.rng, state.alive_count, exhausted, jnp.int32(0)),
-        (ys, xs, counts_at_src),
+        (ys, xs, counts_at_src, scn.source_valid),
     )
 
     # place emitted markers into the first free slots (the reference

@@ -23,6 +23,7 @@ def scenario_from_oracle(ora) -> Scenario:
         source=jnp.asarray(ora.source),
         sink=jnp.asarray(ora.sink),
         source_yx=jnp.asarray(np.stack([ys, xs], axis=1).astype(np.int32)),
+        source_valid=jnp.ones((len(ys),), bool),
     )
 
 
