@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
-Preconditioner = Literal["jacobi", "ic0", "none"]
+Preconditioner = Literal["jacobi", "mg", "none"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +32,13 @@ class SolverConfig:
     max_iterations: int = 100
     tol: float = 1e-6
     preconditioner: Preconditioner = "jacobi"
+    # Multigrid preconditioner knobs (preconditioner="mg"): V(pre,post)
+    # damped-Jacobi cycles over 2x-coarsened mask hierarchies down to
+    # min_size, with a fixed smoothing solve at the coarsest level.
+    mg_min_size: int = 32
+    mg_pre_smooth: int = 2
+    mg_post_smooth: int = 2
+    mg_coarse_iters: int = 24
     # float32 is the TPU-native choice; float64 (requires jax_enable_x64)
     # reproduces the reference's double-precision CG (main.c:577-578,716).
     dtype: str = "float32"
@@ -67,6 +74,13 @@ class SimConfig:
     rainbow: bool = False
     source_color_period: float = 10.0   # seconds
     initial_color_period: float = 60.0  # grid cells
+
+    # Grid-advection interpolation implementation:
+    #   "stencil" — 3x3 shifted-array selects (TPU-native, no gathers;
+    #               valid because CFL <= 0.75 keeps backtraces in-window);
+    #   "gather"  — generic XLA gathers (reference formulation).
+    # Bit-identical results; see tests/test_stencil.py.
+    advect_impl: str = "stencil"
 
     # Marker-collision march: max masked iterations of the DDA loop.
     # With cfl <= 0.75 a particle crosses at most one x- and one y-face

@@ -23,7 +23,16 @@ from euler_tpu.core.state import (
     v_property,
     valid_region,
 )
-from euler_tpu.ops.interp import interpolate_p, interpolate_u, interpolate_v
+from euler_tpu.ops.interp import interpolate
+
+
+def _interp(cfg: SimConfig, q, fluid, idx_x, idx_y, celltype: str):
+    """Grid-site interpolation via the configured implementation."""
+    if cfg.advect_impl == "stencil":
+        from euler_tpu.ops.interp_stencil import interpolate_stencil
+
+        return interpolate_stencil(cfg, q, fluid, idx_x, idx_y, celltype)
+    return interpolate(cfg, q, fluid, idx_x, idx_y, celltype)
 
 
 def _site_index_grids(cfg: SimConfig, dtype):
@@ -39,10 +48,10 @@ def advect_u(cfg: SimConfig, u, v, fluid, dt):
     inv_h = 1.0 / cfg.side_length
     dx = u
     # velocity's v component at the u site: v grid index (x+0.5, y-0.5)
-    dy = interpolate_v(cfg, v, fluid, xs + 0.5, ys - 0.5)
+    dy = _interp(cfg, v, fluid, xs + 0.5, ys - 0.5, "v")
     prev_x = xs - dx * dt * inv_h
     prev_y = ys - dy * dt * inv_h
-    out = interpolate_u(cfg, u, fluid, prev_x, prev_y)
+    out = _interp(cfg, u, fluid, prev_x, prev_y, "u")
     mask = u_property(fluid) & valid_region(cfg, "u")
     return jnp.where(mask, out, 0.0).astype(u.dtype)
 
@@ -53,10 +62,10 @@ def advect_v(cfg: SimConfig, u, v, fluid, dt):
     inv_h = 1.0 / cfg.side_length
     dy = v
     # velocity's u component at the v site: u grid index (x-0.5, y+0.5)
-    dx = interpolate_u(cfg, u, fluid, xs - 0.5, ys + 0.5)
+    dx = _interp(cfg, u, fluid, xs - 0.5, ys + 0.5, "u")
     prev_x = xs - dx * dt * inv_h
     prev_y = ys - dy * dt * inv_h
-    out = interpolate_v(cfg, v, fluid, prev_x, prev_y)
+    out = _interp(cfg, v, fluid, prev_x, prev_y, "v")
     mask = v_property(fluid) & valid_region(cfg, "v")
     return jnp.where(mask, out, 0.0).astype(v.dtype)
 
@@ -77,5 +86,5 @@ def advect_p(cfg: SimConfig, q, u, v, fluid, dt):
     dx = (u + shift_left(u)) * 0.5
     prev_x = xs - dx * dt * inv_h
     prev_y = ys - dy * dt * inv_h
-    out = interpolate_p(cfg, q, fluid, prev_x, prev_y)
+    out = _interp(cfg, q, fluid, prev_x, prev_y, "p")
     return jnp.where(fluid, out, q).astype(q.dtype)

@@ -1,0 +1,194 @@
+"""Geometric multigrid V-cycle preconditioner for the pressure solve.
+
+The reference preconditions PCG with serial incomplete Cholesky
+(main.c:580-627) — two loop-carried triangular sweeps that cannot map to
+TPU vector units.  Multigrid is the TPU-native answer at scale: every
+ingredient (damped-Jacobi smoothing, 2x2 residual restriction, constant
+prolongation, masked 5-point operators) is a dense stencil op, and the
+iteration count of the outer PCG becomes grid-size independent instead
+of growing like O(n) (plain/Jacobi PCG at 1024² does not converge within
+the reference's 100-iteration budget; MG-PCG does in ~10).
+
+Scheme (after McAdams et al. 2010-style mask coarsening):
+  * coarse cell is fluid if ANY of its 2x2 fine cells is fluid, solid if
+    ALL are solid; everything else is air (Dirichlet p=0), matching the
+    fine-level boundary conventions (main.c:554-575: solid neighbours
+    drop out of the diagonal, air neighbours keep Dirichlet coupling);
+  * rediscretized coarse operator (same masked 5-point stencil);
+  * cell-centred bilinear prolongation (9/16, 3/16, 3/16, 1/16 weights)
+    with its exact adjoint as restriction, scaled so the dx_c² = 4 dx²
+    factor folds in (total restriction mass 4);
+  * red-black Gauss-Seidel pre/post smoothing in symmetric colour order
+    (red-black pre, black-red post), so the V-cycle is a fixed symmetric
+    positive operator suitable as a PCG preconditioner.
+
+Odd grid sizes are padded with air at each level; padded cells are
+non-fluid and drop out of every masked op.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core.state import shift_down, shift_left, shift_right, shift_up
+
+
+class MGLevel(NamedTuple):
+    fluid: jnp.ndarray   # bool [Y, X]
+    a_diag: jnp.ndarray  # int32 [Y, X]
+    inv_diag: jnp.ndarray  # dtype [Y, X], 1/diag on fluid (safe elsewhere)
+
+
+def _pad_even(a, fill):
+    Y, X = a.shape
+    py, px = Y % 2, X % 2
+    if py or px:
+        a = jnp.pad(a, ((0, py), (0, px)), constant_values=fill)
+    return a
+
+
+def _rediscretize(solid, fluid, dtype):
+    s = solid.astype(jnp.int32)
+    diag = 4 - (shift_left(s) + shift_right(s) + shift_down(s) + shift_up(s))
+    a_diag = jnp.where(fluid, diag, 0)
+    inv = jnp.where(fluid & (a_diag > 0), 1.0, 0.0).astype(dtype) / jnp.maximum(
+        a_diag, 1
+    ).astype(dtype)
+    return a_diag, inv
+
+
+def build_hierarchy(solid, fluid, dtype, min_size: int = 32, max_levels: int = 16):
+    """List of MGLevel from fine to coarse (level 0 = input grid)."""
+    levels = []
+    cur_solid, cur_fluid = solid, fluid
+    for _ in range(max_levels):
+        a_diag, inv = _rediscretize(cur_solid, cur_fluid, dtype)
+        levels.append(MGLevel(cur_fluid, a_diag, inv))
+        Y, X = cur_fluid.shape
+        if min(Y, X) <= min_size:
+            break
+        f = _pad_even(cur_fluid, False)
+        s = _pad_even(cur_solid, True)  # outside counts as solid for "all"
+        Y2, X2 = f.shape
+        cur_fluid = f.reshape(Y2 // 2, 2, X2 // 2, 2).any(axis=(1, 3))
+        cur_solid = s.reshape(Y2 // 2, 2, X2 // 2, 2).all(axis=(1, 3))
+        cur_solid = cur_solid & ~cur_fluid
+    return levels
+
+
+def _apply_a(level: MGLevel, x):
+    lap = level.a_diag.astype(x.dtype) * x - (
+        shift_left(x) + shift_right(x) + shift_down(x) + shift_up(x)
+    )
+    return jnp.where(level.fluid, lap, 0)
+
+
+def _checkerboard(shape):
+    yy = jnp.arange(shape[0])[:, None]
+    xx = jnp.arange(shape[1])[None, :]
+    return ((yy + xx) & 1) == 0
+
+
+def _smooth(level: MGLevel, x, b, iters: int, omega: float,
+            reverse: bool = False):
+    """Red-black Gauss-Seidel: two coloured half-sweeps per iteration.
+
+    Fully data-parallel (each colour updates independently given the
+    other) with a much better smoothing factor than damped Jacobi; this
+    is the standard TPU/GPU-friendly multigrid smoother.  `omega` = 1 is
+    plain RB-GS.  `reverse` flips the colour order (used for
+    post-smoothing so the V-cycle operator is symmetric).
+    """
+    import jax
+
+    w = jnp.asarray(omega, x.dtype)
+    red = _checkerboard(x.shape)
+    first, second = (~red, red) if reverse else (red, ~red)
+
+    def half(x, color_mask):
+        r = b - _apply_a(level, x)
+        return x + jnp.where(color_mask, w * r * level.inv_diag, 0)
+
+    def body(_, x):
+        x = half(x, first)
+        return half(x, second)
+
+    # fori_loop rather than Python unrolling: long unrolled smoother
+    # chains trigger superlinear XLA compile/execute costs.
+    x = jax.lax.fori_loop(0, iters, body, x, unroll=2)
+    return jnp.where(level.fluid, x, 0)
+
+
+# Cell-centred bilinear transfer weights: a fine cell at parity (a, b)
+# inside its coarse parent interpolates 3/4 from the parent and 1/4 from
+# the neighbour on each axis -> tensor weights 9/16, 3/16, 3/16, 1/16.
+_W0, _W1 = 0.75, 0.25
+
+
+def _prolong(e, fine_shape):
+    """Bilinear prolongation (coarse [Yc, Xc] -> fine [2Yc, 2Xc], cropped)."""
+    ny = {0: shift_down(e), 1: shift_up(e)}        # y-axis neighbour per parity
+    nx = {0: shift_left(e), 1: shift_right(e)}     # x-axis neighbour per parity
+
+    def quad(a, b):
+        nxy = shift_left(ny[a]) if b == 0 else shift_right(ny[a])
+        return (_W0 * _W0) * e + (_W0 * _W1) * nx[b] \
+            + (_W1 * _W0) * ny[a] + (_W1 * _W1) * nxy
+
+    Yc, Xc = e.shape
+    # interleave quadrants: up[2i+a, 2j+b] = quad(a, b)[i, j]
+    rows = jnp.stack([jnp.stack([quad(a, b) for b in (0, 1)], axis=-1)
+                      for a in (0, 1)], axis=1)      # [Yc, 2, Xc, 2]
+    up = rows.reshape(2 * Yc, 2 * Xc)
+    return up[: fine_shape[0], : fine_shape[1]]
+
+
+def _restrict(r):
+    """Exact adjoint of _prolong, total mass 4 (folds in dx_c² = 4 dx²)."""
+    r = _pad_even(r, 0)
+    Y, X = r.shape
+    q = r.reshape(Y // 2, 2, X // 2, 2)
+    out = 0.0
+    for a in (0, 1):
+        opp_y = shift_up if a == 0 else shift_down   # adjoint of parity shift
+        for b in (0, 1):
+            opp_x = shift_right if b == 0 else shift_left
+            f = q[:, a, :, b]
+            out = out + (_W0 * _W0) * f + (_W0 * _W1) * opp_x(f) \
+                + (_W1 * _W0) * opp_y(f) + (_W1 * _W1) * opp_x(opp_y(f))
+    return out
+
+
+def v_cycle(levels, b, lvl: int = 0, pre: int = 2, post: int = 2,
+            coarse_iters: int = 24, omega: float = 1.0):
+    level = levels[lvl]
+    b = jnp.where(level.fluid, b, 0)
+    if lvl == len(levels) - 1:
+        # Coarsest solve: k forward sweeps then k reversed sweeps.  The
+        # reversed pass is the transpose of the forward pass, making the
+        # induced solve operator exactly symmetric (required for PCG).
+        x = _smooth(level, jnp.zeros_like(b), b, coarse_iters, omega)
+        return _smooth(level, x, b, coarse_iters, omega, reverse=True)
+    x = _smooth(level, jnp.zeros_like(b), b, pre, omega)
+    r = jnp.where(level.fluid, b - _apply_a(level, x), 0)
+    rc = _restrict(r)
+    ec = v_cycle(levels, rc, lvl + 1, pre, post, coarse_iters, omega)
+    ec = jnp.where(levels[lvl + 1].fluid, ec, 0)
+    x = x + jnp.where(level.fluid, _prolong(ec, b.shape), 0)
+    return _smooth(level, x, b, post, omega, reverse=True)
+
+
+def make_mg_preconditioner(cfg: SimConfig, solid, fluid, dtype):
+    """Returns z = M^{-1} r as a pure function for the PCG loop."""
+    levels = build_hierarchy(solid, fluid, dtype, min_size=cfg.solver.mg_min_size)
+    return partial(
+        v_cycle,
+        levels,
+        pre=cfg.solver.mg_pre_smooth,
+        post=cfg.solver.mg_post_smooth,
+        coarse_iters=cfg.solver.mg_coarse_iters,
+    )

@@ -77,14 +77,24 @@ def apply_a(a_diag, fluid, s):
     return jnp.where(fluid, lap, 0)
 
 
-def _precondition(cfg: SimConfig, a_diag, fluid, r):
+def _make_preconditioner(cfg: SimConfig, a_diag, fluid, solid, dtype):
     kind = cfg.solver.preconditioner
     if kind == "jacobi":
-        d = a_diag.astype(r.dtype)
-        z = r / jnp.where(d > 0, d, 1)
-        return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
+
+        def precon(r):
+            d = a_diag.astype(r.dtype)
+            z = r / jnp.where(d > 0, d, 1)
+            return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
+
+        return precon
+    if kind == "mg":
+        if solid is None:
+            raise ValueError("mg preconditioner needs the solid mask")
+        from euler_tpu.ops.multigrid import make_mg_preconditioner
+
+        return make_mg_preconditioner(cfg, solid, fluid, dtype)
     if kind == "none":
-        return jnp.where(fluid, r, 0)
+        return lambda r: jnp.where(fluid, r, 0)
     raise NotImplementedError(f"preconditioner {kind!r}")
 
 
@@ -98,13 +108,13 @@ def _inf_norm(r):
     return jnp.max(jnp.abs(r))
 
 
-def solve_pressure(cfg: SimConfig, b, a_diag, fluid):
+def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
     """PCG for A p = b (main.c:738-767).  Returns (p, iterations, resid)."""
     sdt = b.dtype
     tol = jnp.asarray(cfg.solver.tol, sdt)
     max_iters = cfg.solver.max_iterations
 
-    precon = partial(_precondition, cfg, a_diag, fluid)
+    precon = _make_preconditioner(cfg, a_diag, fluid, solid, sdt)
 
     r = b
     z = precon(r)
@@ -143,7 +153,7 @@ def project(cfg: SimConfig, dt, u, v, fluid, solid):
     f = u.dtype
     b = divergence_rhs(cfg, u, v, fluid, dt)
     a_diag = pressure_matrix_diag(cfg, solid, fluid)
-    p, iters, resid = solve_pressure(cfg, b, a_diag, fluid)
+    p, iters, resid = solve_pressure(cfg, b, a_diag, fluid, solid)
 
     # pressure clamp >= 0 (main.c:773-779)
     p = jnp.where(fluid, jnp.maximum(p, 0), 0)

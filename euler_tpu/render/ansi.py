@@ -114,7 +114,7 @@ def encode_frame_py(
                 out += b"="
                 # prev_water intentionally unchanged (main.c:927-931)
             else:
-                i = row_glyph[x]
+                i = min(int(row_glyph[x]), 3)  # min_u8 clamp (main.c:933)
                 has_water = i > 0
                 if not prev_water and has_water and not rainbow:
                     out += T_BLUE
