@@ -34,6 +34,12 @@ def parse_args(argv):
                     help="run N frames headless and exit (no terminal UI)")
     ap.add_argument("--fps", type=float, default=10.0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--sherlock",
+        action="store_true",
+        help="trap NaNs under jit (the reference's SHERLOCK FP-exception "
+        "build option, CMakeLists.txt:14-16)",
+    )
     return ap.parse_args(argv)
 
 
@@ -163,6 +169,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.sherlock:
+        from euler_tpu.utils.diagnostics import enable_fpmath_asserts
+
+        enable_fpmath_asserts()
     if args.frames:
         run_headless(args)
     else:
