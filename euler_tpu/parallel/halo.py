@@ -1,0 +1,127 @@
+"""Explicit shard_map domain decomposition with ppermute halo exchange.
+
+The GSPMD path (euler_tpu.parallel.mesh) lets XLA's partitioner insert
+communication automatically.  This module is the hand-rolled alternative
+for the solver hot loop: grid rows are block-sharded over a mesh axis,
+the 5-point stencil's neighbour rows travel via jax.lax.ppermute (one
+hop along ICI per direction), and the PCG reductions are jax.lax.psum —
+the stencil analogue of ring-attention-style sequence parallelism
+(SURVEY.md §5 "long-context").
+
+Used for scale-out pressure solves; correctness is pinned against the
+single-device solver in tests/test_halo.py on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from euler_tpu.config import SimConfig
+
+
+def halo_exchange_rows(x, axis_name: str):
+    """Return (below, above): the neighbour shards' edge rows.
+
+    `below[0]` is the last row of the previous shard (zeros at the global
+    bottom edge), `above[0]` the first row of the next shard (zeros at the
+    global top).  One ppermute per direction — a single ICI hop each.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top_row = x[-1:]      # send up
+    bottom_row = x[:1]    # send down
+
+    below = jax.lax.ppermute(
+        top_row, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    above = jax.lax.ppermute(
+        bottom_row, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    below = jnp.where(idx == 0, jnp.zeros_like(below), below)
+    above = jnp.where(idx == n - 1, jnp.zeros_like(above), above)
+    return below, above
+
+
+def _apply_a_local(a_diag, fluid, s, axis_name):
+    """Masked 5-point Laplacian on a row-shard with halo exchange."""
+    below, above = halo_exchange_rows(s, axis_name)
+    up = jnp.concatenate([s[1:], above], axis=0)        # s[y+1]
+    down = jnp.concatenate([below, s[:-1]], axis=0)     # s[y-1]
+    left = jnp.pad(s[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(s[:, 1:], ((0, 0), (0, 1)))
+    lap = a_diag.astype(s.dtype) * s - (left + right + up + down)
+    return jnp.where(fluid, lap, 0)
+
+
+def _pcg_sharded(cfg: SimConfig, axis_name, b, a_diag, fluid):
+    """Jacobi-PCG with psum reductions, one shard per device."""
+    sdt = b.dtype
+    tol = jnp.asarray(cfg.solver.tol, sdt)
+    max_iters = cfg.solver.max_iterations
+    psum = partial(jax.lax.psum, axis_name=axis_name)
+    pmax = partial(jax.lax.pmax, axis_name=axis_name)
+
+    def precon(r):
+        d = a_diag.astype(sdt)
+        z = r / jnp.where(d > 0, d, 1)
+        return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
+
+    def dot(x, y):
+        return psum(jnp.sum(x * y))
+
+    def inf_norm(r):
+        return pmax(jnp.max(jnp.abs(r)))
+
+    r = b
+    z = precon(r)
+    s = z
+    sigma = dot(z, r)
+    p = jnp.zeros_like(b)
+    nonzero = inf_norm(r) != 0
+
+    def cond(c):
+        _, _, _, _, i, done = c
+        return (~done) & (i < max_iters)
+
+    def body(c):
+        p, r, s, sigma, i, done = c
+        As = _apply_a_local(a_diag, fluid, s, axis_name)
+        zs = dot(As, s)
+        alpha = sigma / jnp.where(zs != 0, zs, 1)
+        p = p + alpha * s
+        r = r - alpha * As
+        conv = inf_norm(r) <= tol
+        z = precon(r)
+        sigma_new = dot(z, r)
+        beta = sigma_new / jnp.where(sigma != 0, sigma, 1)
+        s = z + beta * s
+        return (p, r, s, sigma_new, i + 1, conv)
+
+    p, r, *_ = jax.lax.while_loop(
+        cond, body, (p, r, s, sigma, jnp.int32(0), ~nonzero)
+    )
+    return p
+
+
+def make_sharded_pressure_solver(cfg: SimConfig, mesh: Mesh, axis: str = "y"):
+    """jit-compiled row-sharded pressure solver over `mesh[axis]`.
+
+    Inputs/outputs are [Y, X] arrays sharded P(axis, None); Y must divide
+    by the axis size.
+    """
+    spec = P(axis, None)
+
+    fn = shard_map(
+        partial(_pcg_sharded, cfg, axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, spec)
+    return jax.jit(fn, in_shardings=(sharding,) * 3, out_shardings=sharding)
