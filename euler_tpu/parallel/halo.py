@@ -121,7 +121,6 @@ def make_sharded_pressure_solver(cfg: SimConfig, mesh: Mesh, axis: str = "y"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )
     sharding = NamedSharding(mesh, spec)
     return jax.jit(fn, in_shardings=(sharding,) * 3, out_shardings=sharding)
