@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--warmup-frames", type=int, default=1)
     ap.add_argument("--pcg-iters", type=int, default=100)
+    ap.add_argument("--layout", default="slots", choices=["slots", "global"])
+    ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -43,8 +45,12 @@ def main():
     cfg = SimConfig(
         nx=args.size,
         ny=args.size,
+        marker_layout=args.layout,
         solver=SolverConfig(
-            max_iterations=args.pcg_iters, tol=1e-6, dtype="float32"
+            max_iterations=args.pcg_iters,
+            tol=1e-6,
+            dtype="float32",
+            preconditioner=args.precon,
         ),
     )
     scn, state = dam_break(cfg)

@@ -46,9 +46,16 @@ def _finish(cfg: SimConfig, solid, fluid, source, sink, seed=0):
     ).reshape(-1, 2) * np.float32(cfg.side_length)
 
     markers = np.zeros((cfg.max_markers, 2), np.float32)
-    markers[:n] = pos
     alive = np.zeros((cfg.max_markers,), bool)
-    alive[:n] = True
+    if cfg.marker_layout == "slots":
+        K = cfg.slots_per_cell
+        base = (ys * cfg.nx + xs) * K
+        slots = (base[:, None] + np.arange(k)[None, :]).ravel()
+        markers[slots] = pos
+        alive[slots] = True
+    else:
+        markers[:n] = pos
+        alive[:n] = True
 
     sy, sx = np.nonzero(source)
     scn = Scenario(
@@ -64,9 +71,10 @@ def _finish(cfg: SimConfig, solid, fluid, source, sink, seed=0):
         alive=jnp.asarray(alive),
         alive_count=jnp.asarray(n, jnp.int32),
     )
-    from euler_tpu.ops.markers import refresh_marker_counts
+    from euler_tpu.ops.markers import get_marker_ops
 
-    state = refresh_marker_counts(cfg, scn, state)
+    _, refresh, _ = get_marker_ops(cfg)
+    state = refresh(cfg, scn, state)
     if cfg.rainbow:
         from euler_tpu.ops.color import colorize
 

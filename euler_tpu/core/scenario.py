@@ -147,9 +147,20 @@ def build_scenario(text, cfg: SimConfig, pad_sources: int | None = None):
 
     state = zeros_state(cfg, gen.state_u32_pair())
     markers = np.zeros((cfg.max_markers, 2), dtype=np.float32)
-    markers[:n] = positions
     alive = np.zeros((cfg.max_markers,), dtype=bool)
-    alive[:n] = True
+    if cfg.marker_layout == "slots":
+        # place each cell's markers into its own slot block; seeding
+        # order (and thus the RNG stream, main.c:256-266) is unchanged
+        K = cfg.slots_per_cell
+        k = cfg.markers_per_cell
+        xs_f, ys_f = np.nonzero(fluid.T)  # x-major cell order
+        base = (ys_f * cfg.nx + xs_f) * K
+        slots = (base[:, None] + np.arange(k)[None, :]).ravel()
+        markers[slots] = positions
+        alive[slots] = True
+    else:
+        markers[:n] = positions
+        alive[:n] = True
     state = state.replace(
         markers=jnp.asarray(markers),
         alive=jnp.asarray(alive),
@@ -159,9 +170,10 @@ def build_scenario(text, cfg: SimConfig, pad_sources: int | None = None):
     # refresh_marker_counts at init (main.c:268): prev takes the old
     # (zero) counts, current becomes the histogram of seeded markers, and
     # markers in sink/solid cells are dropped.
-    from euler_tpu.ops.markers import refresh_marker_counts
+    from euler_tpu.ops.markers import get_marker_ops
 
-    state = refresh_marker_counts(cfg, scn, state)
+    _, refresh, _ = get_marker_ops(cfg)
+    state = refresh(cfg, scn, state)
 
     if cfg.rainbow:
         from euler_tpu.ops.color import colorize

@@ -181,6 +181,19 @@ def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     return state.replace(markers=new_markers)
 
 
+def get_marker_ops(cfg: SimConfig):
+    """(advect, refresh, sources) for the configured marker layout."""
+    if cfg.marker_layout == "slots":
+        from euler_tpu.ops import markers_slots as ms
+
+        return (
+            ms.advect_markers_slots,
+            ms.refresh_marker_counts_slots,
+            ms.update_fluid_sources_slots,
+        )
+    return advect_markers, refresh_marker_counts, update_fluid_sources
+
+
 def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
     """main.c:276-298.
 

@@ -1,0 +1,309 @@
+"""Cell-slot marker layout: the TPU-native gather-free marker pipeline.
+
+The reference (and euler_tpu.ops.markers, the exact-parity layout) keeps
+markers in one global array and looks everything up with random-access
+indexing.  On TPU those gathers dominate the entire step (~99% of frame
+time at 1024² — see the ablation notes in the commit history).
+
+The slot layout stores markers by home cell: slot m = (y*X + x)*K + k of
+the flat [M, 2] marker array holds marker k of cell (y, x), with the
+first `marker_count[y, x]` slots of each cell valid (front-compacted).
+Because the CFL limit (0.75 cells/substep, main.c:838) bounds every
+per-substep interaction to the 3x3 neighbourhood of the home cell, every
+operation becomes a dense stencil op over [Y, X, K] arrays:
+
+  * velocity sampling — the staggered 2x2 interpolation corners of a
+    marker inside cell (y, x) lie in the 3x3 window (see
+    interp_stencil.interpolate_stencil with per-slot sample points);
+  * the DDA collision march (main.c:464-537) — all solid-cell probes lie
+    in the 3x3 window, served by selects over 9 shifted copies;
+  * re-binning — a marker's destination cell is one of the 9 neighbours,
+    so refresh becomes 9 shifted insert passes with per-cell prefix-sum
+    compaction (the counterpart of refresh_marker_counts, main.c:102-117).
+
+Semantic deviation from the reference, by design: a cell holds at most K
+markers (config slots_per_cell); arrivals beyond K are dropped.  The
+reference's count is bounded only by its uint8 counter.  K >= 6-8 makes
+drops rare in practice (projection keeps the fluid incompressible); the
+"global" layout remains available for strict parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core import rng as rng_mod
+from euler_tpu.core.state import FluidState, Scenario
+from euler_tpu.ops.interp_stencil import interpolate_stencil
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def slot_views(cfg: SimConfig, state: FluidState):
+    """(positions [Y,X,K,2], valid [Y,X,K]) views of the flat arrays."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    return (
+        state.markers.reshape(Y, X, K, 2),
+        state.alive.reshape(Y, X, K),
+    )
+
+
+def _shift2(a, dy: int, dx: int, fill=0):
+    """a[y - dy, x - dx]: the value the cell (y-dy, x-dx) holds, i.e. the
+    source-cell view for arrivals with offset (dy, dx)."""
+    Y, X = a.shape[0], a.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [
+        (0, 0)
+    ] * (a.ndim - 2)
+    p = jnp.pad(a, pad, constant_values=fill)
+    return p[
+        max(-dy, 0) : max(-dy, 0) + Y, max(-dx, 0) : max(-dx, 0) + X
+    ]
+
+
+def _stack3x3(a, fill=0):
+    """S[dy+1][dx+1][y, x] == a[y + dy, x + dx] (fill beyond edges)."""
+    return [
+        [_shift2(a, -dy, -dx, fill) for dx in (-1, 0, 1)] for dy in (-1, 0, 1)
+    ]
+
+
+def _select3x3(stack, dy, dx, trail_dims: int):
+    """Value of stack at per-slot offsets dy, dx in {-1, 0, 1}."""
+    bc = (Ellipsis,) + (None,) * trail_dims
+    out = None
+    for a in (-1, 0, 1):
+        row = jnp.where(
+            dx == -1,
+            stack[a + 1][0][bc],
+            jnp.where(dx == 0, stack[a + 1][1][bc], stack[a + 1][2][bc]),
+        )
+        out = row if out is None else jnp.where(dy == a, row, out)
+    return out
+
+
+def velocity_at_slots(cfg: SimConfig, u, v, fluid, px, py):
+    """Staggered velocity at per-slot positions (main.c:440-449), via
+    stencil interpolation — valid because a marker's interpolation
+    corners stay within the 3x3 window of its home cell."""
+    inv_h = np.float32(1.0) / np.float32(cfg.side_length)
+    vx = interpolate_stencil(cfg, u, fluid, px * inv_h - 1.0, py * inv_h - 0.5, "u")
+    vy = interpolate_stencil(cfg, v, fluid, px * inv_h - 0.5, py * inv_h - 1.0, "v")
+    return vx, vy
+
+
+def _time_to(p0, p1, vel):
+    nz = jnp.abs(vel) > 0.0
+    return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
+
+
+def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+    """main.c:464-537 on the slot layout: identical arithmetic to
+    euler_tpu.ops.markers.advect_markers, with every solid probe served
+    by a 3x3 select instead of a gather."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    h = np.float32(cfg.side_length)
+    inv_h = np.float32(1.0) / h
+
+    positions, valid = slot_views(cfg, state)
+    px = positions[..., 0]
+    py = positions[..., 1]
+    vx, vy = velocity_at_slots(cfg, state.u, state.v, state.fluid, px, py)
+
+    site_x = jnp.arange(X, dtype=jnp.int32)[None, :, None]
+    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None, None]
+    solid9 = _stack3x3(scn.solid, False)
+
+    def solid_at(yy, xx):
+        dy = jnp.clip(yy - site_y, -1, 1)
+        dx = jnp.clip(xx - site_x, -1, 1)
+        return _select3x3(solid9, dy, dx, 1)
+
+    x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
+    y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
+
+    x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
+    nx_idx = x_idx + (vx > 0)
+    npx = nx_idx.astype(px.dtype) * h
+    t_x = _time_to(px, npx, vx)
+    x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
+
+    y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
+    ny_idx = y_idx + (vy > 0)
+    npy = ny_idx.astype(py.dtype) * h
+    t_y = _time_to(py, npy, vy)
+    y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
+
+    t_prev = jnp.zeros_like(px)
+    t_near = jnp.minimum(t_x, t_y)
+    dt_rem = jnp.zeros_like(px) + dt
+
+    def body(_, c):
+        (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+         t_x, t_y, t_prev, t_near, dt_rem) = c
+        active = t_near < dt_rem
+        horiz = t_x < t_y
+
+        hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
+        adv_h = active & horiz & ~hit_h
+        hit_v = active & ~horiz & solid_at(ny_idx + y_off, x_idx)
+        adv_v = active & ~horiz & ~hit_v
+        hit = hit_h | hit_v
+
+        px1 = jnp.where(hit, px + t_prev * vx, px)
+        py1 = jnp.where(hit, py + t_prev * vy, py)
+        dt1 = jnp.where(hit, dt_rem - t_prev, dt_rem)
+        vx1 = jnp.where(hit_h, 0.0, vx)
+        vy1 = jnp.where(hit_v, 0.0, vy)
+
+        x_idx1 = jnp.where(adv_h, nx_idx, x_idx)
+        nx_idx1 = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
+        npx1 = jnp.where(adv_h, nx_idx1.astype(px.dtype) * h, npx)
+        y_idx1 = jnp.where(adv_v, ny_idx, y_idx)
+        ny_idx1 = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
+        npy1 = jnp.where(adv_v, ny_idx1.astype(py.dtype) * h, npy)
+
+        t_x1 = jnp.where(active, _time_to(px1, npx1, vx1), t_x)
+        t_y1 = jnp.where(active, _time_to(py1, npy1, vy1), t_y)
+        t_prev1 = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
+        t_near1 = jnp.where(active, jnp.minimum(t_x1, t_y1), t_near)
+
+        return (px1, py1, vx1, vy1, x_idx1, y_idx1, nx_idx1, ny_idx1,
+                npx1, npy1, t_x1, t_y1, t_prev1, t_near1, dt1)
+
+    carry = (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+             t_x, t_y, t_prev, t_near, dt_rem)
+    (px, py, vx, vy, _, _, _, _, _, _,
+     _, _, t_prev, t_near, dt_rem) = jax.lax.fori_loop(
+        0, cfg.marker_march_iters, body, carry
+    )
+
+    t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
+    new_x = jnp.where(valid, px + t * vx, px)
+    new_y = jnp.where(valid, py + t * vy, py)
+    new_positions = jnp.stack([new_x, new_y], axis=-1)
+    return state.replace(markers=new_positions.reshape(-1, 2))
+
+
+def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState):
+    """Re-bin advected markers into their new home cells, drop markers in
+    sink/solid cells, and recount (refresh_marker_counts, main.c:102-117).
+
+    Nine shifted insert passes (one per possible cell offset); within a
+    destination cell, arrivals are compacted to the front of the slot
+    axis by prefix-sum ranking.  Arrivals beyond K slots are dropped
+    (documented capacity deviation)."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    inv_h = np.float32(1.0) / np.float32(cfg.side_length)
+
+    positions, valid = slot_views(cfg, state)
+    ncx = jnp.floor(positions[..., 0] * inv_h).astype(jnp.int32)
+    ncy = jnp.floor(positions[..., 1] * inv_h).astype(jnp.int32)
+    site_x = jnp.arange(X, dtype=jnp.int32)[None, :, None]
+    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None, None]
+    ody = jnp.clip(ncy - site_y, -1, 1)
+    odx = jnp.clip(ncx - site_x, -1, 1)
+
+    dead_cell = scn.sink | scn.solid  # arrivals here are deleted
+
+    out_pos = jnp.zeros_like(positions)
+    out_valid = jnp.zeros_like(valid)
+    count = jnp.zeros((Y, X), jnp.int32)
+    slot_ids = jnp.arange(K, dtype=jnp.int32)
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            # markers held by cell (y-dy, x-dx) that are bound for (y, x)
+            src_sel = _shift2(valid & (ody == dy) & (odx == dx), dy, dx)
+            src_pos = _shift2(positions, dy, dx)
+            rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=-1) - 1
+            dest = count[..., None] + rank
+            ok = src_sel & (dest < K) & ~dead_cell[..., None]
+            onehot = ok[..., None] & (
+                dest[..., None] == slot_ids[None, None, None, :]
+            )
+            w = onehot.astype(positions.dtype)
+            out_pos = out_pos + jnp.einsum("yxsd,yxsc->yxdc", w, src_pos)
+            out_valid = out_valid | jnp.any(onehot, axis=2)
+            count = count + jnp.sum(ok, axis=-1, dtype=jnp.int32)
+
+    return state.replace(
+        markers=out_pos.reshape(-1, 2),
+        alive=out_valid.reshape(-1),
+        prev_marker_count=state.marker_count,
+        marker_count=count,
+        alive_count=jnp.sum(count),
+    )
+
+
+def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState):
+    """Source emission (main.c:276-298) on the slot layout.
+
+    Identical sequential RNG/cap semantics to the global layout; the
+    emitted marker of a source cell lands in that cell's first free slot
+    (= index marker_count, since slots are front-compacted)."""
+    S = scn.num_sources
+    max_count = cfg.max_markers
+    K = cfg.slots_per_cell
+
+    from euler_tpu.ops.color import hsv_basis
+
+    t = (
+        np.float32(0.6) / np.float32(cfg.source_color_period)
+    ) * state.frame_count.astype(state.r.dtype)
+    src = scn.source
+    state = state.replace(
+        r=jnp.where(src, hsv_basis(t + 2.0), state.r),
+        g=jnp.where(src, hsv_basis(t), state.g),
+        b=jnp.where(src, hsv_basis(t - 2.0), state.b),
+    )
+
+    if S == 0:
+        return state
+
+    exhausted = state.source_exhausted | (state.alive_count == max_count - 1)
+    ys = scn.source_yx[:, 0]
+    xs = scn.source_yx[:, 1]
+    counts_at_src = state.marker_count[ys, xs]
+    h = np.float32(cfg.side_length)
+
+    def emit_one(carry, inp):
+        rng, alive_count, exhausted = carry
+        y, x, count, valid = inp
+        can = valid & (~exhausted) & (count < cfg.markers_per_cell) & (count < K)
+        rx, rng_a = rng_mod.randf32(rng)
+        ry, rng_b = rng_mod.randf32(rng_a)
+        rng = jnp.where(can, rng_b, rng)
+        pos_x = (x.astype(rx.dtype) + rx) * h
+        pos_y = (y.astype(ry.dtype) + ry) * h
+        alive_count = alive_count + can.astype(jnp.int32)
+        exhausted = exhausted | (alive_count == max_count - 1)
+        return (rng, alive_count, exhausted), (can, pos_x, pos_y)
+
+    (rng, alive_count, exhausted), (cans, pos_x, pos_y) = jax.lax.scan(
+        emit_one,
+        (state.rng, state.alive_count, exhausted),
+        (ys, xs, counts_at_src, scn.source_valid),
+    )
+
+    # slot index of the emitted marker: cell base + current count
+    flat_slot = (ys * cfg.nx + xs) * K + jnp.minimum(counts_at_src, K - 1)
+    flat_slot = jnp.where(cans, flat_slot, cfg.max_markers)  # dropped
+
+    markers = state.markers.at[flat_slot, 0].set(pos_x, mode="drop")
+    markers = markers.at[flat_slot, 1].set(pos_y, mode="drop")
+    alive = state.alive.at[flat_slot].set(True, mode="drop")
+    marker_count = state.marker_count.at[ys, xs].add(
+        cans.astype(jnp.int32), mode="drop"
+    )
+    return state.replace(
+        markers=markers,
+        alive=alive,
+        marker_count=marker_count,
+        alive_count=alive_count,
+        source_exhausted=exhausted,
+        rng=rng,
+    )

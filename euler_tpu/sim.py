@@ -27,6 +27,7 @@ from euler_tpu.ops.extrapolate import extrapolate
 from euler_tpu.ops.forces import apply_body_forces, calculate_timestep, zero_bounds
 from euler_tpu.ops.markers import (
     advect_markers,
+    get_marker_ops,
     refresh_marker_counts,
     update_fluid_sources,
 )
@@ -36,11 +37,12 @@ from euler_tpu.ops.project import project
 def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     """One CFL substep (the body of main.c:851-893), dt already chosen."""
     solid = scn.solid
+    adv_markers, refresh_counts, fluid_sources = get_marker_ops(cfg)
 
     # marker pass uses the velocity field and fluid mask from the end of
     # the previous substep (including last substep's source emissions)
-    state = advect_markers(cfg, scn, state, dt)
-    state = refresh_marker_counts(cfg, scn, state)
+    state = adv_markers(cfg, scn, state, dt)
+    state = refresh_counts(cfg, scn, state)
 
     if cfg.rainbow:
         # colours extrapolate before sources run (main.c:859-863)
@@ -51,7 +53,7 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
             b=extrapolate(cfg, state.b, fluid, prev, "p"),
         )
 
-    state = update_fluid_sources(cfg, scn, state)
+    state = fluid_sources(cfg, scn, state)
 
     # velocity extrapolation and boundary zeroing see the post-emission
     # fluid mask (emission increments marker_count, main.c:289)

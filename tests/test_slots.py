@@ -1,0 +1,89 @@
+"""Slot marker layout vs the exact global layout.
+
+With identical arithmetic (stencil interpolation is bit-equal to the
+gather form, the DDA is the same masked loop, emission consumes the same
+RNG stream), trajectories must match EXACTLY as long as no cell exceeds
+slots_per_cell markers — compare sorted positions bitwise."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from euler_tpu.config import SimConfig, SolverConfig
+from euler_tpu.core.scenario import build_scenario
+from euler_tpu.sim import step_frame_jit
+
+from helpers import read_scenario, sorted_positions
+
+GLOBAL = SimConfig(marker_layout="global")
+SLOTS = SimConfig(marker_layout="slots", slots_per_cell=8)
+
+
+@pytest.mark.parametrize("name", ["basic.txt", "block.txt", "waterfall.txt"])
+def test_slots_match_global_exactly(name):
+    text = read_scenario(name)
+    scn_g, st_g = build_scenario(text, GLOBAL)
+    scn_s, st_s = build_scenario(text, SLOTS)
+
+    # identical seeding
+    np.testing.assert_array_equal(
+        sorted_positions(st_g.markers, st_g.alive),
+        sorted_positions(st_s.markers, st_s.alive),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_g.marker_count), np.asarray(st_s.marker_count)
+    )
+
+    for frame in range(3):
+        st_g = step_frame_jit(GLOBAL, scn_g, st_g)
+        st_s = step_frame_jit(SLOTS, scn_s, st_s)
+        max_count = int(np.asarray(st_g.marker_count).max())
+        assert max_count <= SLOTS.slots_per_cell, "test premise violated"
+        np.testing.assert_array_equal(
+            np.asarray(st_g.marker_count),
+            np.asarray(st_s.marker_count),
+            err_msg=f"{name} frame {frame}",
+        )
+        np.testing.assert_array_equal(
+            sorted_positions(st_g.markers, st_g.alive),
+            sorted_positions(st_s.markers, st_s.alive),
+            err_msg=f"{name} frame {frame}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_g.u), np.asarray(st_s.u), err_msg=f"{name} f{frame}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_g.rng), np.asarray(st_s.rng)
+        )
+        assert int(st_g.alive_count) == int(st_s.alive_count)
+
+
+def test_slot_overflow_drops():
+    """Arrivals beyond slots_per_cell are dropped, counts stay capped.
+
+    Markers may only move within the 3x3 neighbourhood per refresh (CFL
+    invariant), so overflow is staged from the two adjacent cells."""
+    cfg = SimConfig(nx=8, ny=8, marker_layout="slots", slots_per_cell=4)
+    scn, st = build_scenario(b"00\n00\n", cfg)
+    K = cfg.slots_per_cell
+    pos = np.zeros((cfg.max_markers, 2), np.float32)
+    alive = np.zeros((cfg.max_markers,), bool)
+    rng = np.random.default_rng(0)
+    # 4 markers in each of cells (3, 2) and (3, 4), all bound for (3, 3)
+    for (cy, cx) in [(3, 2), (3, 4)]:
+        base = (cy * cfg.nx + cx) * K
+        pos[base : base + 4] = 3.0 + rng.random((4, 2), np.float32)
+        alive[base : base + 4] = True
+    st = st.replace(markers=jnp.asarray(pos), alive=jnp.asarray(alive))
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+
+    st2 = refresh_marker_counts_slots(cfg, scn, st)
+    counts = np.asarray(st2.marker_count)
+    assert counts[3, 3] == 4  # 8 arrivals capped at K=4
+    assert counts.sum() == 4
+    assert int(st2.alive_count) == 4
+    # front-compaction invariant: valid slots are a prefix per cell
+    valid = np.asarray(st2.alive).reshape(8, 8, K)
+    k = valid.sum(-1)
+    prefix = np.arange(K)[None, None, :] < k[..., None]
+    np.testing.assert_array_equal(valid, prefix)
