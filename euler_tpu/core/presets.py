@@ -45,16 +45,17 @@ def _finish(cfg: SimConfig, solid, fluid, source, sink, seed=0):
         + rng.random((n_cells, k, 2), np.float32) * 0.5
     ).reshape(-1, 2) * np.float32(cfg.side_length)
 
-    markers = np.zeros((cfg.max_markers, 2), np.float32)
+    markers = np.zeros((2, cfg.max_markers), np.float32)
     alive = np.zeros((cfg.max_markers,), bool)
     if cfg.marker_layout == "slots":
-        K = cfg.slots_per_cell
-        base = (ys * cfg.nx + xs) * K
-        slots = (base[:, None] + np.arange(k)[None, :]).ravel()
-        markers[slots] = pos
+        cell = ys * cfg.nx + xs
+        slots = (
+            cell[:, None] + np.arange(k)[None, :] * (cfg.nx * cfg.ny)
+        ).ravel()
+        markers[:, slots] = pos.T
         alive[slots] = True
     else:
-        markers[:n] = pos
+        markers[:, :n] = pos.T
         alive[:n] = True
 
     sy, sx = np.nonzero(source)

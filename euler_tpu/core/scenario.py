@@ -146,20 +146,22 @@ def build_scenario(text, cfg: SimConfig, pad_sources: int | None = None):
     )
 
     state = zeros_state(cfg, gen.state_u32_pair())
-    markers = np.zeros((cfg.max_markers, 2), dtype=np.float32)
+    markers = np.zeros((2, cfg.max_markers), dtype=np.float32)
     alive = np.zeros((cfg.max_markers,), dtype=bool)
     if cfg.marker_layout == "slots":
         # place each cell's markers into its own slot block; seeding
-        # order (and thus the RNG stream, main.c:256-266) is unchanged
-        K = cfg.slots_per_cell
+        # order (and thus the RNG stream, main.c:256-266) is unchanged.
+        # Slot-layout flat index is (k*Y + y)*X + x (grid dims minor).
         k = cfg.markers_per_cell
         xs_f, ys_f = np.nonzero(fluid.T)  # x-major cell order
-        base = (ys_f * cfg.nx + xs_f) * K
-        slots = (base[:, None] + np.arange(k)[None, :]).ravel()
-        markers[slots] = positions
+        cell = ys_f * cfg.nx + xs_f
+        slots = (
+            cell[:, None] + np.arange(k)[None, :] * (cfg.nx * cfg.ny)
+        ).ravel()
+        markers[:, slots] = positions.T
         alive[slots] = True
     else:
-        markers[:n] = positions
+        markers[:, :n] = positions.T
         alive[:n] = True
     state = state.replace(
         markers=jnp.asarray(markers),

@@ -61,7 +61,12 @@ class FluidState:
     r: jax.Array               # f32 [Y, X]
     g: jax.Array               # f32 [Y, X]
     b: jax.Array               # f32 [Y, X]
-    markers: jax.Array         # f32 [M, 2] world-space (x, y) positions
+    # Marker positions, coordinate-major: markers[0] = x, markers[1] = y.
+    # [2, M] rather than [M, 2] so the long axis sits in the TPU lane
+    # dimension (a [M, 2] layout wastes 126 of 128 lanes and pads HBM).
+    # In the "slots" layout, flat index m = (k*Y + y)*X + x, i.e. the
+    # array views as [2, K, Y, X] with the grid dims minor.
+    markers: jax.Array         # f32 [2, M] world-space positions
     alive: jax.Array           # bool [M] marker slot in use
     marker_count: jax.Array    # i32 [Y, X] markers per cell (g_marker_count)
     prev_marker_count: jax.Array  # i32 [Y, X] previous step (g_prev_marker_count)
@@ -90,7 +95,7 @@ def zeros_state(cfg: SimConfig, rng_pair: np.ndarray) -> FluidState:
         r=jnp.zeros((Y, X), f),
         g=jnp.zeros((Y, X), f),
         b=jnp.zeros((Y, X), f),
-        markers=jnp.zeros((M, 2), f),
+        markers=jnp.zeros((2, M), f),
         alive=jnp.zeros((M,), jnp.bool_),
         marker_count=jnp.zeros((Y, X), jnp.int32),
         prev_marker_count=jnp.zeros((Y, X), jnp.int32),

@@ -48,13 +48,12 @@ def interpolate_stencil(cfg: SimConfig, q, fluid, idx_x, idx_y, celltype: str):
     frac_y = iy - whole_y
 
     Y, X = q.shape
-    # `idx_*` may be per-site [Y, X] (grid advection) or per-slot
-    # [Y, X, K] (slot-layout markers: K sample points per home cell);
-    # the 3x3 stacks broadcast over the trailing slot axis.
-    slot_dims = idx_x.ndim - 2
-    trail = (None,) * slot_dims
-    site_x = jnp.arange(X, dtype=jnp.int32)[(None, slice(None)) + trail]
-    site_y = jnp.arange(Y, dtype=jnp.int32)[(slice(None), None) + trail]
+    # `idx_*` may be per-site [Y, X] (grid advection) or carry leading
+    # batch dims, e.g. [K, Y, X] for slot-layout markers (K sample
+    # points per home cell): the [Y, X] stacks and site grids broadcast
+    # against leading axes, keeping the grid dims in the TPU lanes.
+    site_x = jnp.arange(X, dtype=jnp.int32)[None, :]
+    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None]
     # offset of the interpolation base from the site: in {-1, 0}
     ox = whole_x.astype(jnp.int32) - site_x
     oy = whole_y.astype(jnp.int32) - site_y
@@ -64,14 +63,13 @@ def interpolate_stencil(cfg: SimConfig, q, fluid, idx_x, idx_y, celltype: str):
     prop = property_of(fluid, celltype)
     Q = _shift_stack(q, 0)
     V = _shift_stack(prop, False)
-    bc = (Ellipsis,) + trail
 
     def corner(cy, cx):
         """(valid, value) at (base_y + cy, base_x + cx)."""
         # stack row index = oy + cy + 1 in {cy, cy+1}; same for columns
         def pick(S):
-            lo = jnp.where(at_base, S[cy][cx + 1][bc], S[cy][cx][bc])
-            hi = jnp.where(at_base, S[cy + 1][cx + 1][bc], S[cy + 1][cx][bc])
+            lo = jnp.where(at_base, S[cy][cx + 1], S[cy][cx])
+            hi = jnp.where(at_base, S[cy + 1][cx + 1], S[cy + 1][cx])
             return jnp.where(at_base_y, hi, lo)
 
         return pick(V), pick(Q)

@@ -37,10 +37,12 @@ _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 def marker_cells(cfg: SimConfig, markers):
-    """floor(position / h) per marker (main.c:106-107)."""
+    """floor(position / h) per marker (main.c:106-107).
+
+    markers is coordinate-major [2, M] (see FluidState.markers)."""
     inv_h = np.float32(1.0) / np.float32(cfg.side_length)
-    xi = jnp.floor(markers[:, 0] * inv_h).astype(jnp.int32)
-    yi = jnp.floor(markers[:, 1] * inv_h).astype(jnp.int32)
+    xi = jnp.floor(markers[0] * inv_h).astype(jnp.int32)
+    yi = jnp.floor(markers[1] * inv_h).astype(jnp.int32)
     return yi, xi
 
 
@@ -89,8 +91,8 @@ def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     h = np.float32(cfg.side_length)
     solid = scn.solid
 
-    px = state.markers[:, 0]
-    py = state.markers[:, 1]
+    px = state.markers[0]
+    py = state.markers[1]
     vx, vy = velocity_at(cfg, state.u, state.v, state.fluid, px, py)
 
     inv_h = np.float32(1.0) / h
@@ -173,10 +175,10 @@ def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     new_y = py + t * vy
     new_markers = jnp.stack(
         [
-            jnp.where(state.alive, new_x, state.markers[:, 0]),
-            jnp.where(state.alive, new_y, state.markers[:, 1]),
+            jnp.where(state.alive, new_x, state.markers[0]),
+            jnp.where(state.alive, new_y, state.markers[1]),
         ],
-        axis=1,
+        axis=0,
     )
     return state.replace(markers=new_markers)
 
@@ -267,8 +269,8 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
     # route non-emitting lanes to a dummy out-of-range slot (dropped)
     slots = jnp.where(cans, slots, cfg.max_markers)
 
-    markers = state.markers.at[slots, 0].set(pos_x, mode="drop")
-    markers = markers.at[slots, 1].set(pos_y, mode="drop")
+    markers = state.markers.at[0, slots].set(pos_x, mode="drop")
+    markers = markers.at[1, slots].set(pos_y, mode="drop")
     alive = state.alive.at[slots].set(True, mode="drop")
     marker_count = state.marker_count.at[ys, xs].add(
         cans.astype(jnp.int32), mode="drop"

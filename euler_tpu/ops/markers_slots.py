@@ -5,16 +5,20 @@ markers in one global array and looks everything up with random-access
 indexing.  On TPU those gathers dominate the entire step (~99% of frame
 time at 1024² — see the ablation notes in the commit history).
 
-The slot layout stores markers by home cell: slot m = (y*X + x)*K + k of
-the flat [M, 2] marker array holds marker k of cell (y, x), with the
-first `marker_count[y, x]` slots of each cell valid (front-compacted).
-Because the CFL limit (0.75 cells/substep, main.c:838) bounds every
-per-substep interaction to the 3x3 neighbourhood of the home cell, every
-operation becomes a dense stencil op over [Y, X, K] arrays:
+The slot layout stores markers by home cell, coordinate-major: flat
+marker m = (k*Y + y)*X + x holds marker k of cell (y, x), so the [2, M]
+marker array views as px/py of shape [K, Y, X] with the grid dims in the
+TPU sublane/lane dimensions (K in the lane dim would waste 120+ of 128
+lanes).  The first `marker_count[y, x]` slots of each cell are valid
+(front-compacted).  Because the CFL limit (0.75 cells/substep,
+main.c:838) bounds every per-substep interaction to the 3x3
+neighbourhood of the home cell, every operation becomes a dense stencil
+op:
 
   * velocity sampling — the staggered 2x2 interpolation corners of a
     marker inside cell (y, x) lie in the 3x3 window (see
-    interp_stencil.interpolate_stencil with per-slot sample points);
+    interp_stencil.interpolate_stencil, which broadcasts over the
+    leading K axis);
   * the DDA collision march (main.c:464-537) — all solid-cell probes lie
     in the 3x3 window, served by selects over 9 shifted copies;
   * re-binning — a marker's destination cell is one of the 9 neighbours,
@@ -43,25 +47,25 @@ _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 def slot_views(cfg: SimConfig, state: FluidState):
-    """(positions [Y,X,K,2], valid [Y,X,K]) views of the flat arrays."""
+    """(px [K,Y,X], py [K,Y,X], valid [K,Y,X]) views of the flat arrays."""
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     return (
-        state.markers.reshape(Y, X, K, 2),
-        state.alive.reshape(Y, X, K),
+        state.markers[0].reshape(K, Y, X),
+        state.markers[1].reshape(K, Y, X),
+        state.alive.reshape(K, Y, X),
     )
 
 
 def _shift2(a, dy: int, dx: int, fill=0):
-    """a[y - dy, x - dx]: the value the cell (y-dy, x-dx) holds, i.e. the
-    source-cell view for arrivals with offset (dy, dx)."""
-    Y, X = a.shape[0], a.shape[1]
-    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [
-        (0, 0)
-    ] * (a.ndim - 2)
-    p = jnp.pad(a, pad, constant_values=fill)
-    return p[
-        max(-dy, 0) : max(-dy, 0) + Y, max(-dx, 0) : max(-dx, 0) + X
+    """out[..., y, x] = a[..., y - dy, x - dx]: the source-cell view for
+    arrivals with offset (dy, dx).  Operates on the last two axes."""
+    Y, X = a.shape[-2], a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 2) + [
+        (max(dy, 0), max(-dy, 0)),
+        (max(dx, 0), max(-dx, 0)),
     ]
+    p = jnp.pad(a, pad, constant_values=fill)
+    return p[..., max(-dy, 0) : max(-dy, 0) + Y, max(-dx, 0) : max(-dx, 0) + X]
 
 
 def _stack3x3(a, fill=0):
@@ -71,15 +75,15 @@ def _stack3x3(a, fill=0):
     ]
 
 
-def _select3x3(stack, dy, dx, trail_dims: int):
-    """Value of stack at per-slot offsets dy, dx in {-1, 0, 1}."""
-    bc = (Ellipsis,) + (None,) * trail_dims
+def _select3x3(stack, dy, dx):
+    """Value of stack at per-slot offsets dy, dx in {-1, 0, 1}; the [Y, X]
+    stack entries broadcast against leading axes of dy/dx."""
     out = None
     for a in (-1, 0, 1):
         row = jnp.where(
             dx == -1,
-            stack[a + 1][0][bc],
-            jnp.where(dx == 0, stack[a + 1][1][bc], stack[a + 1][2][bc]),
+            stack[a + 1][0],
+            jnp.where(dx == 0, stack[a + 1][1], stack[a + 1][2]),
         )
         out = row if out is None else jnp.where(dy == a, row, out)
     return out
@@ -104,23 +108,21 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     """main.c:464-537 on the slot layout: identical arithmetic to
     euler_tpu.ops.markers.advect_markers, with every solid probe served
     by a 3x3 select instead of a gather."""
-    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    Y, X = cfg.ny, cfg.nx
     h = np.float32(cfg.side_length)
     inv_h = np.float32(1.0) / h
 
-    positions, valid = slot_views(cfg, state)
-    px = positions[..., 0]
-    py = positions[..., 1]
+    px, py, valid = slot_views(cfg, state)
     vx, vy = velocity_at_slots(cfg, state.u, state.v, state.fluid, px, py)
 
-    site_x = jnp.arange(X, dtype=jnp.int32)[None, :, None]
-    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None, None]
+    site_x = jnp.arange(X, dtype=jnp.int32)[None, :]
+    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None]
     solid9 = _stack3x3(scn.solid, False)
 
     def solid_at(yy, xx):
         dy = jnp.clip(yy - site_y, -1, 1)
         dx = jnp.clip(xx - site_x, -1, 1)
-        return _select3x3(solid9, dy, dx, 1)
+        return _select3x3(solid9, dy, dx)
 
     x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
     y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
@@ -176,16 +178,18 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
 
     carry = (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
              t_x, t_y, t_prev, t_near, dt_rem)
-    (px, py, vx, vy, _, _, _, _, _, _,
+    (px2, py2, vx, vy, _, _, _, _, _, _,
      _, _, t_prev, t_near, dt_rem) = jax.lax.fori_loop(
         0, cfg.marker_march_iters, body, carry
     )
 
     t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
-    new_x = jnp.where(valid, px + t * vx, px)
-    new_y = jnp.where(valid, py + t * vy, py)
-    new_positions = jnp.stack([new_x, new_y], axis=-1)
-    return state.replace(markers=new_positions.reshape(-1, 2))
+    new_x = jnp.where(valid, px2 + t * vx, px)
+    new_y = jnp.where(valid, py2 + t * vy, py)
+    new_markers = jnp.stack(
+        [new_x.reshape(-1), new_y.reshape(-1)], axis=0
+    )
+    return state.replace(markers=new_markers)
 
 
 def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState):
@@ -199,39 +203,54 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     inv_h = np.float32(1.0) / np.float32(cfg.side_length)
 
-    positions, valid = slot_views(cfg, state)
-    ncx = jnp.floor(positions[..., 0] * inv_h).astype(jnp.int32)
-    ncy = jnp.floor(positions[..., 1] * inv_h).astype(jnp.int32)
-    site_x = jnp.arange(X, dtype=jnp.int32)[None, :, None]
-    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None, None]
+    px, py, valid = slot_views(cfg, state)
+    ncx = jnp.floor(px * inv_h).astype(jnp.int32)
+    ncy = jnp.floor(py * inv_h).astype(jnp.int32)
+    site_x = jnp.arange(X, dtype=jnp.int32)[None, :]
+    site_y = jnp.arange(Y, dtype=jnp.int32)[:, None]
     ody = jnp.clip(ncy - site_y, -1, 1)
     odx = jnp.clip(ncx - site_x, -1, 1)
 
     dead_cell = scn.sink | scn.solid  # arrivals here are deleted
 
-    out_pos = jnp.zeros_like(positions)
-    out_valid = jnp.zeros_like(valid)
+    # Pass 1 (sequential over the 9 offsets — the running per-cell count
+    # orders arrivals): which candidates land, in which destination slot.
     count = jnp.zeros((Y, X), jnp.int32)
-    slot_ids = jnp.arange(K, dtype=jnp.int32)
-
+    per_offset = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             # markers held by cell (y-dy, x-dx) that are bound for (y, x)
             src_sel = _shift2(valid & (ody == dy) & (odx == dx), dy, dx)
-            src_pos = _shift2(positions, dy, dx)
-            rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=-1) - 1
-            dest = count[..., None] + rank
-            ok = src_sel & (dest < K) & ~dead_cell[..., None]
-            onehot = ok[..., None] & (
-                dest[..., None] == slot_ids[None, None, None, :]
-            )
-            w = onehot.astype(positions.dtype)
-            out_pos = out_pos + jnp.einsum("yxsd,yxsc->yxdc", w, src_pos)
-            out_valid = out_valid | jnp.any(onehot, axis=2)
-            count = count + jnp.sum(ok, axis=-1, dtype=jnp.int32)
+            src_px = _shift2(px, dy, dx)
+            src_py = _shift2(py, dy, dx)
+            rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=0) - 1
+            dest = count[None] + rank
+            ok = src_sel & (dest < K) & ~dead_cell[None]
+            per_offset.append((ok, dest, src_px, src_py))
+            count = count + jnp.sum(ok, axis=0, dtype=jnp.int32)
+
+    # Pass 2: each destination slot's (unique) candidate as pure masked
+    # sums over [Y, X] planes — one big multi-output elementwise dataflow
+    # XLA fuses into a single pass over the shifted inputs.
+    px_slots, py_slots, valid_slots = [], [], []
+    for d in range(K):
+        acc_x = jnp.zeros((Y, X), px.dtype)
+        acc_y = jnp.zeros((Y, X), py.dtype)
+        any_d = jnp.zeros((Y, X), bool)
+        for ok, dest, src_px, src_py in per_offset:
+            sel_d = ok & (dest == d)  # at most one true along the K axis
+            acc_x = acc_x + jnp.sum(jnp.where(sel_d, src_px, 0), axis=0)
+            acc_y = acc_y + jnp.sum(jnp.where(sel_d, src_py, 0), axis=0)
+            any_d = any_d | jnp.any(sel_d, axis=0)
+        px_slots.append(acc_x)
+        py_slots.append(acc_y)
+        valid_slots.append(any_d)
+    out_px = jnp.stack(px_slots, axis=0)
+    out_py = jnp.stack(py_slots, axis=0)
+    out_valid = jnp.stack(valid_slots, axis=0)
 
     return state.replace(
-        markers=out_pos.reshape(-1, 2),
+        markers=jnp.stack([out_px.reshape(-1), out_py.reshape(-1)], axis=0),
         alive=out_valid.reshape(-1),
         prev_marker_count=state.marker_count,
         marker_count=count,
@@ -248,6 +267,7 @@ def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState)
     S = scn.num_sources
     max_count = cfg.max_markers
     K = cfg.slots_per_cell
+    Y, X = cfg.ny, cfg.nx
 
     from euler_tpu.ops.color import hsv_basis
 
@@ -289,12 +309,13 @@ def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState)
         (ys, xs, counts_at_src, scn.source_valid),
     )
 
-    # slot index of the emitted marker: cell base + current count
-    flat_slot = (ys * cfg.nx + xs) * K + jnp.minimum(counts_at_src, K - 1)
+    # flat slot of the emitted marker: (k*Y + y)*X + x with k = count
+    k_slot = jnp.minimum(counts_at_src, K - 1)
+    flat_slot = (k_slot * Y + ys) * X + xs
     flat_slot = jnp.where(cans, flat_slot, cfg.max_markers)  # dropped
 
-    markers = state.markers.at[flat_slot, 0].set(pos_x, mode="drop")
-    markers = markers.at[flat_slot, 1].set(pos_y, mode="drop")
+    markers = state.markers.at[0, flat_slot].set(pos_x, mode="drop")
+    markers = markers.at[1, flat_slot].set(pos_y, mode="drop")
     alive = state.alive.at[flat_slot].set(True, mode="drop")
     marker_count = state.marker_count.at[ys, xs].add(
         cans.astype(jnp.int32), mode="drop"

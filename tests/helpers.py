@@ -41,9 +41,9 @@ def state_from_oracle(ora, cfg: SimConfig) -> FluidState:
         ),
     )
     n = len(ora.markers)
-    markers = np.zeros((cfg.max_markers, 2), np.float32)
+    markers = np.zeros((2, cfg.max_markers), np.float32)
     if n:
-        markers[:n] = np.array(ora.markers, np.float32)
+        markers[:, :n] = np.array(ora.markers, np.float32).T
     alive = np.zeros((cfg.max_markers,), bool)
     alive[:n] = True
     return st.replace(
@@ -64,7 +64,7 @@ def state_from_oracle(ora, cfg: SimConfig) -> FluidState:
 
 def cell_counts(markers, alive, cfg):
     """Histogram marker positions to per-cell counts (order-free)."""
-    m = np.asarray(markers)[np.asarray(alive)]
+    m = np.asarray(markers).T[np.asarray(alive)]
     xi = np.floor(m[:, 0]).astype(int)
     yi = np.floor(m[:, 1]).astype(int)
     counts = np.zeros((cfg.ny, cfg.nx), np.int32)
@@ -73,6 +73,9 @@ def cell_counts(markers, alive, cfg):
 
 
 def sorted_positions(markers, alive):
-    m = np.asarray(markers)[np.asarray(alive)]
+    m = np.asarray(markers)
+    if m.shape[0] == 2 and m.shape[-1] != 2:
+        m = m.T
+    m = m[np.asarray(alive)]
     order = np.lexsort((m[:, 1], m[:, 0]))
     return m[order]

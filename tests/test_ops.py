@@ -154,7 +154,7 @@ def test_advect_markers_matches(rolled):
 
     st2 = advect_markers(cfg, scn, st, jnp.float32(dt))
     n = len(rolled.markers)
-    got = np.asarray(st2.markers)[:n]
+    got = np.asarray(st2.markers).T[:n]
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 

@@ -108,7 +108,7 @@ def test_invariants_long_run():
     )
     # markers never inside solids (modulo the reference's acknowledged
     # float-precision leak, main.c:461-463 — tolerate a tiny fraction)
-    m = np.asarray(st.markers)[np.asarray(st.alive)]
+    m = np.asarray(st.markers).T[np.asarray(st.alive)]
     yi = np.floor(m[:, 1]).astype(int)
     xi = np.floor(m[:, 0]).astype(int)
     frac_in_solid = solid[yi, xi].mean()

@@ -66,14 +66,15 @@ def test_slot_overflow_drops():
     cfg = SimConfig(nx=8, ny=8, marker_layout="slots", slots_per_cell=4)
     scn, st = build_scenario(b"00\n00\n", cfg)
     K = cfg.slots_per_cell
-    pos = np.zeros((cfg.max_markers, 2), np.float32)
+    pos = np.zeros((2, cfg.max_markers), np.float32)
     alive = np.zeros((cfg.max_markers,), bool)
     rng = np.random.default_rng(0)
     # 4 markers in each of cells (3, 2) and (3, 4), all bound for (3, 3)
+    # (slot-layout flat index: (k*Y + y)*X + x)
     for (cy, cx) in [(3, 2), (3, 4)]:
-        base = (cy * cfg.nx + cx) * K
-        pos[base : base + 4] = 3.0 + rng.random((4, 2), np.float32)
-        alive[base : base + 4] = True
+        slots = np.arange(4) * (cfg.ny * cfg.nx) + cy * cfg.nx + cx
+        pos[:, slots] = 3.0 + rng.random((2, 4), np.float32)
+        alive[slots] = True
     st = st.replace(markers=jnp.asarray(pos), alive=jnp.asarray(alive))
     from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
 
@@ -83,7 +84,7 @@ def test_slot_overflow_drops():
     assert counts.sum() == 4
     assert int(st2.alive_count) == 4
     # front-compaction invariant: valid slots are a prefix per cell
-    valid = np.asarray(st2.alive).reshape(8, 8, K)
-    k = valid.sum(-1)
-    prefix = np.arange(K)[None, None, :] < k[..., None]
+    valid = np.asarray(st2.alive).reshape(K, 8, 8)
+    k = valid.sum(0)
+    prefix = np.arange(K)[:, None, None] < k[None]
     np.testing.assert_array_equal(valid, prefix)
