@@ -55,13 +55,18 @@ def main():
     )
     scn, state = dam_break(cfg)
 
+    def sync(state):
+        # host reads of values data-dependent on the whole step: a true
+        # barrier (block_until_ready is unreliable over remote runtimes)
+        return float(state.u.sum()) + float(state.markers[0, 0])
+
     # compile + warmup (also advances into a dynamically active flow state)
     state = run_frames_jit(cfg, scn, state, args.warmup_frames)
-    jax.block_until_ready(state)
+    sync(state)
 
     t0 = time.perf_counter()
     state = run_frames_jit(cfg, scn, state, args.frames)
-    jax.block_until_ready(state)
+    sync(state)
     elapsed = time.perf_counter() - t0
 
     cells = cfg.nx * cfg.ny

@@ -178,10 +178,13 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
 
     carry = (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
              t_x, t_y, t_prev, t_near, dt_rem)
+    # statically unrolled: a fori_loop would materialise the whole
+    # 15-array carry in HBM every iteration; unrolled, XLA fuses the
+    # march into a single kernel pass.
+    for i in range(cfg.marker_march_iters):
+        carry = body(i, carry)
     (px2, py2, vx, vy, _, _, _, _, _, _,
-     _, _, t_prev, t_near, dt_rem) = jax.lax.fori_loop(
-        0, cfg.marker_march_iters, body, carry
-    )
+     _, _, t_prev, t_near, dt_rem) = carry
 
     t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
     new_x = jnp.where(valid, px2 + t * vx, px)
