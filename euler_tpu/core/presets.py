@@ -83,12 +83,23 @@ def _finish(cfg: SimConfig, solid, fluid, source, sink, seed=0):
     return scn, state
 
 
+def _solid_box(Y, X):
+    """Solid floor and side walls just inside the border sink ring, like
+    the bundled scenarios' 'X' walls — without them fluid free-falls
+    into the bottom sinks and the pressure solve degenerates."""
+    solid = np.zeros((Y, X), bool)
+    solid[1, 1 : X - 1] = True
+    solid[1:-1, 1] = True
+    solid[1:-1, X - 2] = True
+    return solid
+
+
 def dam_break(cfg: SimConfig, fill_x: float = 0.4, fill_y: float = 0.6, seed=0):
     """A water column against the left wall — the classic dam break."""
     Y, X = cfg.ny, cfg.nx
-    solid = np.zeros((Y, X), bool)
+    solid = _solid_box(Y, X)
     fluid = np.zeros((Y, X), bool)
-    fluid[1 : 1 + int((Y - 2) * fill_y), 1 : 1 + int((X - 2) * fill_x)] = True
+    fluid[2 : 2 + int((Y - 3) * fill_y), 2 : 2 + int((X - 3) * fill_x)] = True
     source = np.zeros((Y, X), bool)
     sink = np.zeros((Y, X), bool)
     return _finish(cfg, solid, fluid, source, sink, seed)
@@ -97,9 +108,9 @@ def dam_break(cfg: SimConfig, fill_x: float = 0.4, fill_y: float = 0.6, seed=0):
 def block_obstacles(cfg: SimConfig, seed=0):
     """Falling water over interior solid obstacles (block.txt, scaled)."""
     Y, X = cfg.ny, cfg.nx
-    solid = np.zeros((Y, X), bool)
+    solid = _solid_box(Y, X)
     fluid = np.zeros((Y, X), bool)
-    fluid[Y // 2 : Y - 2, 1 : X - 1] = True
+    fluid[Y // 2 : Y - 2, 2 : X - 2] = True
     # a row of solid blocks in the lower half
     bw = max(2, X // 16)
     for x0 in range(X // 8, X - X // 8, 2 * bw):
