@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--warmup-frames", type=int, default=1)
     ap.add_argument("--pcg-iters", type=int, default=100)
     ap.add_argument("--layout", default="slots", choices=["slots", "global"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas marker kernel")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
@@ -40,12 +42,13 @@ def main():
 
     from euler_tpu.config import SimConfig, SolverConfig
     from euler_tpu.core.presets import dam_break
-    from euler_tpu.sim import run_frames_jit
+    from euler_tpu.sim import step_frame_jit
 
     cfg = SimConfig(
         nx=args.size,
         ny=args.size,
         marker_layout=args.layout,
+        use_pallas_markers=args.pallas,
         solver=SolverConfig(
             max_iterations=args.pcg_iters,
             tol=1e-6,
@@ -60,12 +63,17 @@ def main():
         # barrier (block_until_ready is unreliable over remote runtimes)
         return float(state.u.sum()) + float(state.markers[0, 0])
 
-    # compile + warmup (also advances into a dynamically active flow state)
-    state = run_frames_jit(cfg, scn, state, args.warmup_frames)
+    # Host loop over one jitted frame: calls dispatch asynchronously and
+    # pipeline, with a single sync at the end.  (An outer lax.scan over
+    # frames measures an order of magnitude slower on the tunneled
+    # runtime than the identical per-frame program.)
+    for _ in range(max(args.warmup_frames, 1)):
+        state = step_frame_jit(cfg, scn, state)
     sync(state)
 
     t0 = time.perf_counter()
-    state = run_frames_jit(cfg, scn, state, args.frames)
+    for _ in range(args.frames):
+        state = step_frame_jit(cfg, scn, state)
     sync(state)
     elapsed = time.perf_counter() - t0
 

@@ -79,6 +79,9 @@ class SimConfig:
     #              dropping arrivals beyond slots_per_cell in one cell.
     marker_layout: str = "global"
     slots_per_cell: int = 8
+    # Use the fused Pallas TPU kernel for slot-marker advection (same
+    # math as the jnp path to within compiler FMA contraction).
+    use_pallas_markers: bool = False
 
     # Rendering / colour (main.c:83-84).
     rainbow: bool = False

@@ -108,6 +108,18 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     """main.c:464-537 on the slot layout: identical arithmetic to
     euler_tpu.ops.markers.advect_markers, with every solid probe served
     by a 3x3 select instead of a gather."""
+    if cfg.use_pallas_markers:
+        from euler_tpu.ops.pallas.marker_kernel import advect_markers_pallas
+
+        px, py, _valid = slot_views(cfg, state)
+        opx, opy = advect_markers_pallas(
+            cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt
+        )
+        new_markers = jnp.stack(
+            [opx.reshape(-1), opy.reshape(-1)], axis=0
+        )
+        return state.replace(markers=new_markers)
+
     Y, X = cfg.ny, cfg.nx
     h = np.float32(cfg.side_length)
     inv_h = np.float32(1.0) / h

@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: fused slot-marker advection + collision march.
+
+One pallas_call fuses, per row-block tile, everything the marker
+advection substage needs (velocity interpolation at marker positions,
+the DDA collision march against solids, the final position advance —
+main.c:440-537 semantics, identical arithmetic to
+euler_tpu.ops.markers_slots.advect_markers_slots):
+
+  * each grid plane (u, v, their fluid properties, solid) is passed as
+    three row-shifted views (rows y-1, y, y+1), so halo access needs no
+    manual DMA — every input is a plain non-overlapping row block;
+  * marker slots are processed one k-slice at a time inside the kernel,
+    keeping the VMEM working set to a few [TY, X] buffers while the XLA
+    version materialises [K, Y, X] temporaries between fusions;
+  * the whole march chain stays on-chip.
+
+Bitwise-identical to advect_markers_slots (asserted in
+tests/test_pallas_markers.py, including interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core.state import u_property, v_property
+from euler_tpu.ops.interp import bilinear
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def _shift_x(a, dx: int):
+    """a[:, x + dx] with zero fill, static dx, on a [R, X] tile."""
+    if dx == 0:
+        return a
+    z = jnp.zeros_like(a[:, :1])
+    if dx > 0:
+        return jnp.concatenate([a[:, dx:], z], axis=1)
+    return jnp.concatenate([z, a[:, :dx]], axis=1)
+
+
+def _interp_tile(q9, p9, at_bx, at_by, frac_x, frac_y):
+    """Fraction-snapped bilinear (main.c:301-364) on a row tile.
+
+    q9/p9: 3x3 lists of [TY, X] planes indexed [dy+1][dx+1] relative to
+    the site cell; at_bx/at_by: interpolation base == site (else site-1).
+    """
+
+    def corner(cy, cx):
+        def pick(S):
+            lo = jnp.where(at_bx, S[cy][cx + 1], S[cy][cx])
+            hi = jnp.where(at_bx, S[cy + 1][cx + 1], S[cy + 1][cx])
+            return jnp.where(at_by, hi, lo)
+
+        return pick(p9) != 0, pick(q9)
+
+    v00, q00 = corner(0, 0)
+    v01, q01 = corner(0, 1)
+    v10, q10 = corner(1, 0)
+    v11, q11 = corner(1, 1)
+    q00 = jnp.where(v00, q00, 0.0)
+    q01 = jnp.where(v01, q01, 0.0)
+    q10 = jnp.where(v10, q10, 0.0)
+    q11 = jnp.where(v11, q11, 0.0)
+    return bilinear(q00, q01, q10, q11, frac_x, frac_y, v00, v01, v10, v11)
+
+
+def _clamped_base(idx, site, size, f):
+    """clamp + modf of interpolate (main.c:337-346) relative to the site."""
+    hi = np.nextafter(np.array(size - 1, f), np.array(0.0, f))
+    ix = jnp.clip(idx, 0.0, hi)
+    whole = jnp.floor(ix)
+    frac = ix - whole
+    at_base = whole.astype(jnp.int32) == site
+    return at_base, frac
+
+
+def _time_to(p0, p1, vel):
+    nz = jnp.abs(vel) > 0.0
+    return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
+
+
+def _march_kernel(cfg: SimConfig, TY, dt_ref,
+                  u_m1, u_0, u_p1, v_m1, v_0, v_p1,
+                  up_m1, up_0, up_p1, vp_m1, vp_0, vp_p1,
+                  so_m1, so_0, so_p1,
+                  px_ref, py_ref, opx_ref, opy_ref):
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    h = np.float32(cfg.side_length)
+    inv_h = np.float32(1.0) / h
+    f = jnp.float32
+    row0 = pl.program_id(0) * TY
+
+    dt = dt_ref[0]
+
+    def grid9(m1, c0, p1):
+        rows = [m1[:], c0[:], p1[:]]
+        return [[_shift_x(r, dx) for dx in (-1, 0, 1)] for r in rows]
+
+    u9 = grid9(u_m1, u_0, u_p1)
+    v9 = grid9(v_m1, v_0, v_p1)
+    up9 = grid9(up_m1, up_0, up_p1)
+    vp9 = grid9(vp_m1, vp_0, vp_p1)
+    so9 = grid9(so_m1, so_0, so_p1)
+
+    site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 1)
+    site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
+
+    def solid_at(yy, xx):
+        dy = jnp.clip(yy - site_y, -1, 1)
+        dx = jnp.clip(xx - site_x, -1, 1)
+        out = None
+        for a in (-1, 0, 1):
+            row = jnp.where(
+                dx == -1,
+                so9[a + 1][0],
+                jnp.where(dx == 0, so9[a + 1][1], so9[a + 1][2]),
+            )
+            sel = row != 0
+            out = sel if out is None else jnp.where(dy == a, sel, out)
+        return out
+
+    for k in range(K):
+        px = px_ref[k]
+        py = py_ref[k]
+
+        bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
+        by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
+        vx = _interp_tile(u9, up9, bx_u, by_u, fx_u, fy_u)
+        bx_v, fx_v = _clamped_base(px * inv_h - 0.5, site_x, X, f)
+        by_v, fy_v = _clamped_base(py * inv_h - 1.0, site_y, Y - 1, f)
+        vy = _interp_tile(v9, vp9, bx_v, by_v, fx_v, fy_v)
+
+        x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
+        y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
+        x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
+        nx_idx = x_idx + (vx > 0)
+        npx = nx_idx.astype(f) * h
+        t_x = _time_to(px, npx, vx)
+        x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
+        y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
+        ny_idx = y_idx + (vy > 0)
+        npy = ny_idx.astype(f) * h
+        t_y = _time_to(py, npy, vy)
+        y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
+
+        t_prev = jnp.zeros_like(px)
+        t_near = jnp.minimum(t_x, t_y)
+        dt_rem = jnp.zeros_like(px) + dt
+
+        for _it in range(cfg.marker_march_iters):
+            active = t_near < dt_rem
+            horiz = t_x < t_y
+            hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
+            adv_h = active & horiz & ~hit_h
+            hit_v = active & ~horiz & solid_at(ny_idx + y_off, x_idx)
+            adv_v = active & ~horiz & ~hit_v
+            hit = hit_h | hit_v
+
+            px = jnp.where(hit, px + t_prev * vx, px)
+            py = jnp.where(hit, py + t_prev * vy, py)
+            dt_rem = jnp.where(hit, dt_rem - t_prev, dt_rem)
+            vx = jnp.where(hit_h, 0.0, vx)
+            vy = jnp.where(hit_v, 0.0, vy)
+            x_idx = jnp.where(adv_h, nx_idx, x_idx)
+            nx_idx = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
+            npx = jnp.where(adv_h, nx_idx.astype(f) * h, npx)
+            y_idx = jnp.where(adv_v, ny_idx, y_idx)
+            ny_idx = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
+            npy = jnp.where(adv_v, ny_idx.astype(f) * h, npy)
+            t_x = jnp.where(active, _time_to(px, npx, vx), t_x)
+            t_y = jnp.where(active, _time_to(py, npy, vy), t_y)
+            t_prev = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
+            t_near = jnp.where(active, jnp.minimum(t_x, t_y), t_near)
+
+        t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
+        opx_ref[k] = px + t * vx
+        opy_ref[k] = py + t * vy
+
+
+def _three_views(a):
+    """(rows y-1, y, y+1) of a plane, zero beyond edges, as [Y, X] each."""
+    p = jnp.pad(a, ((1, 1), (0, 0)))
+    Y = a.shape[0]
+    return p[0:Y], p[1 : Y + 1], p[2 : Y + 2]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
+                          interpret: bool = False):
+    """Fused marker advection: returns (new_px, new_py) [K, Y, X].
+
+    Positions are produced for ALL slots (dead slots yield garbage that
+    re-binning masks out), matching advect_markers_slots' contract.
+    """
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    f = px.dtype
+
+    TY = min(Y, 64)
+    while Y % TY:
+        TY //= 2
+    grid = (Y // TY,)
+
+    planes = []
+    for a in (
+        u,
+        v,
+        u_property(fluid).astype(f),
+        v_property(fluid).astype(f),
+        solid.astype(f),
+    ):
+        planes.extend(_three_views(a))
+
+    dt_arr = jnp.full((1,), dt, f)
+
+    row_spec = pl.BlockSpec((TY, X), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec(
+        (K, TY, X), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_march_kernel, cfg, TY)
+    opx, opy = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((K, Y, X), f),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [row_spec] * 15
+        + [slot_spec, slot_spec],
+        out_specs=[slot_spec, slot_spec],
+        interpret=interpret,
+    )(dt_arr, *planes, px, py)
+    return opx, opy

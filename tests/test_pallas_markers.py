@@ -1,0 +1,46 @@
+"""Pallas fused marker advection vs the jnp slot implementation.
+
+Runs in interpret mode on CPU.  The two paths are the same arithmetic
+but compilers contract multiply-adds differently, so agreement is to a
+few float32 ulps (measured max ~4e-6 on positions), not bitwise.  A
+knife-edge collision branch could in principle flip under a 1-ulp
+velocity change — the same sensitivity the reference acknowledges for
+its own float-precision collision handling (main.c:461-463).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from euler_tpu.config import SimConfig, SolverConfig
+from euler_tpu.core.presets import dam_break
+from euler_tpu.ops.markers_slots import advect_markers_slots, slot_views
+from euler_tpu.ops.pallas.marker_kernel import advect_markers_pallas
+from euler_tpu.sim import step_frame_jit
+
+
+def test_pallas_march_matches_jnp():
+    cfg = SimConfig(
+        nx=64, ny=64, marker_layout="slots",
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    scn, st = dam_break(cfg)
+    for _ in range(3):
+        st = step_frame_jit(cfg, scn, st)
+
+    dt = jnp.float32(0.035)
+    ref = advect_markers_slots(cfg, scn, st, dt)
+    rpx, rpy, _ = slot_views(cfg, ref)
+
+    px, py, valid = slot_views(cfg, st)
+    opx, opy = advect_markers_pallas(
+        cfg, st.u, st.v, st.fluid, scn.solid, px, py, dt, interpret=True
+    )
+
+    valid = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(opx)[valid], np.asarray(rpx)[valid], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(opy)[valid], np.asarray(rpy)[valid], atol=1e-4
+    )
