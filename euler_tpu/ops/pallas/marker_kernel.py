@@ -113,6 +113,8 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
     site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
 
     def solid_at(yy, xx):
+        # select in f32 and compare once at the end: Mosaic can't select
+        # between i1 vectors (i8->i1 truncation is unsupported)
         dy = jnp.clip(yy - site_y, -1, 1)
         dx = jnp.clip(xx - site_x, -1, 1)
         out = None
@@ -122,11 +124,10 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
                 so9[a + 1][0],
                 jnp.where(dx == 0, so9[a + 1][1], so9[a + 1][2]),
             )
-            sel = row != 0
-            out = sel if out is None else jnp.where(dy == a, sel, out)
-        return out
+            out = row if out is None else jnp.where(dy == a, row, out)
+        return out != 0
 
-    for k in range(K):
+    def do_slot(k, carry_unused):
         px = px_ref[k]
         py = py_ref[k]
 
@@ -182,6 +183,11 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
         t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
         opx_ref[k] = px + t * vx
         opy_ref[k] = py + t * vy
+        return 0
+
+    # rolled loop over slots: unrolling keeps all K slices' march
+    # intermediates live at once and blows the VMEM stack budget
+    jax.lax.fori_loop(0, K, do_slot, 0)
 
 
 def _three_views(a):
@@ -202,7 +208,9 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
 
-    TY = min(Y, 64)
+    # TY=32 keeps the double-buffered working set (4 slot blocks of
+    # [K, TY, X] f32 + 15 row planes) within the 16 MB VMEM budget.
+    TY = min(Y, 32)
     while Y % TY:
         TY //= 2
     grid = (Y // TY,)
@@ -235,6 +243,9 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
         + [row_spec] * 15
         + [slot_spec, slot_spec],
         out_specs=[slot_spec, slot_spec],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(dt_arr, *planes, px, py)
     return opx, opy
