@@ -219,6 +219,22 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
     inv_h = np.float32(1.0) / np.float32(cfg.side_length)
 
     px, py, valid = slot_views(cfg, state)
+
+    if cfg.use_pallas_markers:
+        from euler_tpu.ops.pallas.rebin_kernel import rebin_markers_pallas
+
+        dead = (scn.sink | scn.solid).astype(px.dtype)
+        opx, opy, ova, count = rebin_markers_pallas(
+            cfg, px, py, valid.astype(px.dtype), dead
+        )
+        return state.replace(
+            markers=jnp.stack([opx.reshape(-1), opy.reshape(-1)], axis=0),
+            alive=(ova != 0).reshape(-1),
+            prev_marker_count=state.marker_count,
+            marker_count=count,
+            alive_count=jnp.sum(count),
+        )
+
     ncx = jnp.floor(px * inv_h).astype(jnp.int32)
     ncy = jnp.floor(py * inv_h).astype(jnp.int32)
     site_x = jnp.arange(X, dtype=jnp.int32)[None, :]

@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused slot-marker re-binning (refresh counts).
+
+The counterpart of refresh_marker_counts (main.c:102-117) on the slot
+layout: take advected positions (possibly one cell away from their home
+slot), drop markers landing in sink/solid cells, compact arrivals into
+the destination cells' slot arrays, and count.
+
+One pass per row-block tile: the nine candidate neighbourhoods arrive as
+three row-shifted views x three in-VMEM x-shifts, destination slots are
+assigned by a running per-cell count with a prefix-sum rank along the
+(leading, K-sized) slot axis, and each output slot accumulates its
+unique candidate with masked sums.  The XLA version of this pass
+materialises dozens of [K, Y, X] intermediates in HBM; here everything
+after the block loads stays on-chip.
+
+Agreement with refresh_marker_counts_slots is exact (selection and
+compaction are integer/boolean ops; positions are copied, not
+recomputed) — asserted in tests/test_pallas_markers.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from euler_tpu.config import SimConfig
+
+
+def _shift_x(a, dx: int, fill=0.0):
+    if dx == 0:
+        return a
+    z = jnp.full_like(a[..., :1], fill)
+    if dx > 0:
+        return jnp.concatenate([a[..., dx:], z], axis=-1)
+    return jnp.concatenate([z, a[..., :dx]], axis=-1)
+
+
+def _rebin_kernel(cfg: SimConfig, TY,
+                  px_m1, px_0, px_p1, py_m1, py_0, py_p1,
+                  va_m1, va_0, va_p1, dead_ref,
+                  opx_ref, opy_ref, ova_ref, cnt_ref):
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    inv_h = np.float32(1.0) / np.float32(cfg.side_length)
+    row0 = pl.program_id(0) * TY
+
+    site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 1)
+    site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
+    dead = dead_ref[:] != 0  # [TY, X]
+
+    views = {
+        -1: (px_m1, py_m1, va_m1),
+        0: (px_0, py_0, va_0),
+        1: (px_p1, py_p1, va_p1),
+    }
+
+    count = jnp.zeros((TY, X), jnp.int32)
+    # accumulators per destination slot
+    acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
+    acc_py = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
+    acc_va = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
+
+    # same (dy, dx) traversal as refresh_marker_counts_slots — the
+    # insertion order determines slot assignment within a cell.  Source
+    # cell is (y-dy, x-dx): row view -dy, x-shift by -dx.
+    for dy in (-1, 0, 1):
+        pxv, pyv, vav = views[-dy]
+        for dx in (-1, 0, 1):
+            spx = _shift_x(pxv[:], -dx)
+            spy = _shift_x(pyv[:], -dx)
+            sva = _shift_x(vav[:], -dx)
+            # bound for (y, x)?  destination = floor(position)
+            ncx = jnp.floor(spx * inv_h).astype(jnp.int32)
+            ncy = jnp.floor(spy * inv_h).astype(jnp.int32)
+            sel = (sva != 0) & (ncx == site_x[None]) & (ncy == site_y[None])
+            sel_i = sel.astype(jnp.int32)
+            rank = jnp.cumsum(sel_i, axis=0) - 1
+            dest = count[None] + rank
+            ok = sel & (dest < K) & ~dead[None]
+            for d in range(K):
+                # at most one candidate along k hits slot d
+                m = ok & (dest == d)
+                mf = m.astype(jnp.float32)
+                acc_px[d] = acc_px[d] + jnp.sum(mf * spx, axis=0)
+                acc_py[d] = acc_py[d] + jnp.sum(mf * spy, axis=0)
+                acc_va[d] = acc_va[d] + jnp.sum(mf, axis=0)
+            count = count + jnp.sum(
+                jnp.where(ok, 1, 0).astype(jnp.int32), axis=0
+            )
+
+    for d in range(K):
+        opx_ref[d] = acc_px[d]
+        opy_ref[d] = acc_py[d]
+        ova_ref[d] = acc_va[d]
+    cnt_ref[:] = count
+
+
+def _three_row_views(a):
+    """(rows y-1, y, y+1) along axis -2 of [K, Y, X], zero beyond edges."""
+    K, Y, X = a.shape
+    p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
+    return p[:, 0:Y], p[:, 1 : Y + 1], p[:, 2 : Y + 2]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
+                         interpret: bool = False):
+    """Fused re-binning.  px/py/valid_f: [K, Y, X] (valid as f32 0/1),
+    dead: [Y, X] f32 (sink|solid).  Returns (px', py', valid_f', count).
+    """
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    f = px.dtype
+
+    TY = min(Y, 32)
+    while Y % TY:
+        TY //= 2
+    grid = (Y // TY,)
+
+    slot_blk = pl.BlockSpec(
+        (K, TY, X), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    row_blk = pl.BlockSpec((TY, X), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    inputs = []
+    for a in (px, py, valid_f):
+        inputs.extend(_three_row_views(a))
+
+    kernel = functools.partial(_rebin_kernel, cfg, TY)
+    opx, opy, ova, cnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
+        ],
+        in_specs=[slot_blk] * 9 + [row_blk],
+        out_specs=[slot_blk, slot_blk, slot_blk, row_blk],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs, dead)
+    return opx, opy, ova, cnt

@@ -44,3 +44,35 @@ def test_pallas_march_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(opy)[valid], np.asarray(rpy)[valid], atol=1e-4
     )
+
+
+def test_pallas_rebin_matches_jnp():
+    """Re-binning is selection/compaction only — must match exactly."""
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+    from euler_tpu.ops.pallas.rebin_kernel import rebin_markers_pallas
+
+    cfg = SimConfig(
+        nx=64, ny=64, marker_layout="slots",
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    scn, st = dam_break(cfg)
+    for _ in range(3):
+        st = step_frame_jit(cfg, scn, st)
+    st = advect_markers_slots(cfg, scn, st, jnp.float32(0.03))
+
+    ref = refresh_marker_counts_slots(cfg, scn, st)
+
+    px, py, valid = slot_views(cfg, st)
+    dead = (scn.sink | scn.solid).astype(px.dtype)
+    opx, opy, ova, count = rebin_markers_pallas(
+        cfg, px, py, valid.astype(px.dtype), dead, interpret=True
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(count), np.asarray(ref.marker_count)
+    )
+    rpx, rpy, rva = slot_views(cfg, ref)
+    np.testing.assert_array_equal(np.asarray(ova) != 0, np.asarray(rva))
+    m = np.asarray(rva)
+    np.testing.assert_array_equal(np.asarray(opx)[m], np.asarray(rpx)[m])
+    np.testing.assert_array_equal(np.asarray(opy)[m], np.asarray(rpy)[m])
