@@ -29,8 +29,9 @@ def main():
     ap.add_argument("--warmup-frames", type=int, default=1)
     ap.add_argument("--pcg-iters", type=int, default=100)
     ap.add_argument("--layout", default="slots", choices=["slots", "global"])
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the fused Pallas marker kernel")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="use the fused Pallas marker kernels")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
@@ -48,7 +49,7 @@ def main():
         nx=args.size,
         ny=args.size,
         marker_layout=args.layout,
-        use_pallas_markers=args.pallas,
+        use_pallas_markers=args.pallas and not args.cpu,
         solver=SolverConfig(
             max_iterations=args.pcg_iters,
             tol=1e-6,

@@ -190,11 +190,12 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
 
     carry = (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
              t_x, t_y, t_prev, t_near, dt_rem)
-    # statically unrolled: a fori_loop would materialise the whole
-    # 15-array carry in HBM every iteration; unrolled, XLA fuses the
-    # march into a single kernel pass.
-    for i in range(cfg.marker_march_iters):
-        carry = body(i, carry)
+    # moderate unroll: full unrolling of the march explodes XLA compile
+    # time (the Pallas kernel is the fully-fused fast path; see
+    # euler_tpu/ops/pallas/marker_kernel.py)
+    carry = jax.lax.fori_loop(
+        0, cfg.marker_march_iters, body, carry, unroll=2
+    )
     (px2, py2, vx, vy, _, _, _, _, _, _,
      _, _, t_prev, t_near, dt_rem) = carry
 

@@ -77,20 +77,25 @@ def _rebin_kernel(cfg: SimConfig, TY,
             ncx = jnp.floor(spx * inv_h).astype(jnp.int32)
             ncy = jnp.floor(spy * inv_h).astype(jnp.int32)
             sel = (sva != 0) & (ncx == site_x[None]) & (ncy == site_y[None])
-            sel_i = sel.astype(jnp.int32)
-            rank = jnp.cumsum(sel_i, axis=0) - 1
-            dest = count[None] + rank
-            ok = sel & (dest < K) & ~dead[None]
-            for d in range(K):
-                # at most one candidate along k hits slot d
-                m = ok & (dest == d)
-                mf = m.astype(jnp.float32)
-                acc_px[d] = acc_px[d] + jnp.sum(mf * spx, axis=0)
-                acc_py[d] = acc_py[d] + jnp.sum(mf * spy, axis=0)
-                acc_va[d] = acc_va[d] + jnp.sum(mf, axis=0)
-            count = count + jnp.sum(
-                jnp.where(ok, 1, 0).astype(jnp.int32), axis=0
-            )
+            # explicit running prefix count over the (small, static) slot
+            # axis — Mosaic has no cumsum primitive.  `run` counts
+            # SELECTED candidates (the cumsum rank), `count` counts
+            # accepted ones, matching refresh_marker_counts_slots.
+            run = count
+            newcount = count
+            for k in range(K):
+                selk = sel[k]
+                destk = run
+                okk = selk & (destk < K) & ~dead
+                okf = okk.astype(jnp.float32)
+                for d in range(K):
+                    mf = okf * (destk == d).astype(jnp.float32)
+                    acc_px[d] = acc_px[d] + mf * spx[k]
+                    acc_py[d] = acc_py[d] + mf * spy[k]
+                    acc_va[d] = acc_va[d] + mf
+                run = run + selk.astype(jnp.int32)
+                newcount = newcount + okk.astype(jnp.int32)
+            count = newcount
 
     for d in range(K):
         opx_ref[d] = acc_px[d]
