@@ -33,6 +33,8 @@ def main():
                     default=True,
                     help="use the fused Pallas marker kernels")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batched independent scenario instances (vmap)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -57,7 +59,19 @@ def main():
             preconditioner=args.precon,
         ),
     )
-    scn, state = dam_break(cfg)
+    if args.batch > 1:
+        import jax as _jax
+        from functools import partial as _partial
+
+        from euler_tpu.sim import step_frame
+
+        pairs = [dam_break(cfg, seed=i) for i in range(args.batch)]
+        scn = _jax.tree.map(lambda *xs: jax.numpy.stack(xs), *[p[0] for p in pairs])
+        state = _jax.tree.map(lambda *xs: jax.numpy.stack(xs), *[p[1] for p in pairs])
+        step_fn = _jax.jit(_jax.vmap(_partial(step_frame, cfg)))
+    else:
+        scn, state = dam_break(cfg)
+        step_fn = lambda scn, state: step_frame_jit(cfg, scn, state)
 
     def sync(state):
         # host reads of values data-dependent on the whole step: a true
@@ -69,23 +83,24 @@ def main():
     # frames measures an order of magnitude slower on the tunneled
     # runtime than the identical per-frame program.)
     for _ in range(max(args.warmup_frames, 1)):
-        state = step_frame_jit(cfg, scn, state)
+        state = step_fn(scn, state)
     sync(state)
 
     t0 = time.perf_counter()
     for _ in range(args.frames):
-        state = step_frame_jit(cfg, scn, state)
+        state = step_fn(scn, state)
     sync(state)
     elapsed = time.perf_counter() - t0
 
     cells = cfg.nx * cfg.ny
-    cell_steps = cells * cfg.max_substeps * args.frames
+    cell_steps = cells * cfg.max_substeps * args.frames * args.batch
     value = cell_steps / elapsed
 
+    suffix = f" x{args.batch}" if args.batch > 1 else ""
     print(
         json.dumps(
             {
-                "metric": f"cell-steps/sec/chip at {args.size}^2",
+                "metric": f"cell-steps/sec/chip at {args.size}^2{suffix}",
                 "value": value,
                 "unit": "cell-steps/s",
                 "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,

@@ -210,7 +210,9 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
 
     # TY=32 keeps the double-buffered working set (4 slot blocks of
     # [K, TY, X] f32 + 15 row planes) within the 16 MB VMEM budget.
-    TY = min(Y, 32)
+    # tile height adapted to X so the double-buffered VMEM working set
+    # stays inside the limit (~19 K-deep blocks of [K, TY, X] f32)
+    TY = min(Y, 32 if X <= 2048 else 8)
     while Y % TY:
         TY //= 2
     grid = (Y // TY,)

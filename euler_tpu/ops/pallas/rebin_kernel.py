@@ -120,7 +120,9 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
 
-    TY = min(Y, 32)
+    # tile height adapted to X so the double-buffered VMEM working set
+    # stays inside the limit (~12 K-deep blocks of [K, TY, X] f32)
+    TY = min(Y, 32 if X <= 2048 else 8)
     while Y % TY:
         TY //= 2
     grid = (Y // TY,)
