@@ -76,7 +76,7 @@ def main():
     def sync(state):
         # host reads of values data-dependent on the whole step: a true
         # barrier (block_until_ready is unreliable over remote runtimes)
-        return float(state.u.sum()) + float(state.markers[0, 0])
+        return float(state.u.sum()) + float(state.markers.sum())
 
     # Host loop over one jitted frame: calls dispatch asynchronously and
     # pipeline, with a single sync at the end.  (An outer lax.scan over

@@ -97,7 +97,7 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
     f = jnp.float32
     row0 = pl.program_id(0) * TY
 
-    dt = dt_ref[0]
+    dt = dt_ref[0, 0]
 
     def grid9(m1, c0, p1):
         rows = [m1[:], c0[:], p1[:]]
@@ -227,7 +227,9 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
     ):
         planes.extend(_three_views(a))
 
-    dt_arr = jnp.full((1,), dt, f)
+    # (1, 128) VMEM plane rather than an SMEM scalar: the SMEM form
+    # breaks the pallas_call batching rule under vmap
+    dt_arr = jnp.full((1, 128), dt, f)
 
     row_spec = pl.BlockSpec((TY, X), lambda i: (i, 0), memory_space=pltpu.VMEM)
     slot_spec = pl.BlockSpec(
@@ -241,7 +243,7 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((K, Y, X), f),
         ],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)]
         + [row_spec] * 15
         + [slot_spec, slot_spec],
         out_specs=[slot_spec, slot_spec],
