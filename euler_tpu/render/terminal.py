@@ -69,9 +69,11 @@ def get_window_size():
     """(rows, cols) of the output terminal (terminal.c:108-117)."""
     try:
         size = os.get_terminal_size(sys.stdout.fileno())
-        return size.lines, size.columns
+        if size.lines > 0 and size.columns > 0:
+            return size.lines, size.columns
     except OSError:
-        return 24, 80
+        pass
+    return 24, 80
 
 
 def set_window_size_handler(fn):
