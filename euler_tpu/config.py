@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
-Preconditioner = Literal["jacobi", "mg", "none"]
+Preconditioner = Literal["jacobi", "mg", "ic0", "none"]
 
 
 @dataclasses.dataclass(frozen=True)

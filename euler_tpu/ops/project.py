@@ -93,6 +93,10 @@ def _make_preconditioner(cfg: SimConfig, a_diag, fluid, solid, dtype):
         from euler_tpu.ops.multigrid import make_mg_preconditioner
 
         return make_mg_preconditioner(cfg, solid, fluid, dtype)
+    if kind == "ic0":
+        from euler_tpu.ops.ic0 import make_ic0_preconditioner
+
+        return make_ic0_preconditioner(a_diag, fluid, dtype)
     if kind == "none":
         return lambda r: jnp.where(fluid, r, 0)
     raise NotImplementedError(f"preconditioner {kind!r}")

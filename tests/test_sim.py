@@ -33,7 +33,7 @@ def _run_pair(name, frames=FRAMES, rainbow=False):
     return cfg, ora, st
 
 
-@pytest.mark.parametrize("name", ["basic.txt", "block.txt"])
+@pytest.mark.parametrize("name", ["basic.txt", "block.txt", "filter.txt", "weird-edges.txt"])
 def test_frames_match_oracle(name):
     cfg, ora, st = _run_pair(name)
 

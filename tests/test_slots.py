@@ -19,6 +19,22 @@ GLOBAL = SimConfig(marker_layout="global")
 SLOTS = SimConfig(marker_layout="slots", slots_per_cell=8)
 
 
+def test_rainbow_slots_match_global():
+    """Colour fields are grid data — layout-independent, incl. rainbow
+    extrapolation/advection ordering (main.c:859-881)."""
+    g = SimConfig(marker_layout="global", rainbow=True)
+    s = SimConfig(marker_layout="slots", rainbow=True)
+    text = read_scenario("waterfall.txt")
+    scn_g, st_g = build_scenario(text, g)
+    scn_s, st_s = build_scenario(text, s)
+    for _ in range(2):
+        st_g = step_frame_jit(g, scn_g, st_g)
+        st_s = step_frame_jit(s, scn_s, st_s)
+    np.testing.assert_array_equal(np.asarray(st_g.r), np.asarray(st_s.r))
+    np.testing.assert_array_equal(np.asarray(st_g.g), np.asarray(st_s.g))
+    np.testing.assert_array_equal(np.asarray(st_g.b), np.asarray(st_s.b))
+
+
 @pytest.mark.parametrize("name", ["basic.txt", "block.txt", "waterfall.txt"])
 def test_slots_match_global_exactly(name):
     text = read_scenario(name)
