@@ -96,10 +96,13 @@ class SimConfig:
     advect_impl: str = "stencil"
 
     # Marker-collision march: max masked iterations of the DDA loop.
-    # With cfl <= 0.75 a particle crosses at most one x- and one y-face
-    # per substep, and each solid hit restarts the march once per axis,
-    # so 6 covers the reference while-loop (main.c:495-533) with slack.
-    marker_march_iters: int = 6
+    # With cfl <= 0.75 a particle has at most one x-event and one y-event
+    # (a face crossing or a wall hit each) per substep, and a hit zeroes
+    # that axis' velocity — so 3 active iterations bound the reference
+    # while-loop (main.c:495-533); the 4th is slack for markers sitting
+    # exactly on a face (zero-time events, the float fragility the
+    # reference notes at main.c:461-463).
+    marker_march_iters: int = 4
 
     solver: SolverConfig = SolverConfig()
 
