@@ -73,3 +73,17 @@ def test_rainbow_colorize_matches_oracle():
     np.testing.assert_allclose(np.asarray(st.r), ora.r, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st.g), ora.g, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st.b), ora.b, atol=1e-6)
+
+
+def test_models_registry():
+    from euler_tpu import models
+
+    assert set(models.names()) >= {"basic", "waterfall", "dam_break"}
+    cfg = SimConfig()
+    scn, st = models.load("basic", cfg)
+    assert int(st.alive_count) > 0
+    cfg2 = SimConfig(nx=64, ny=48)
+    scn2, st2 = models.load("dam_break", cfg2)
+    assert int(st2.alive_count) > 0
+    with pytest.raises(KeyError):
+        models.load("nope")
