@@ -264,22 +264,22 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
     # Pass 2: each destination slot's (unique) candidate as pure masked
     # sums over [Y, X] planes — one big multi-output elementwise dataflow
     # XLA fuses into a single pass over the shifted inputs.
-    px_slots, py_slots, valid_slots = [], [], []
+    px_slots, py_slots = [], []
     for d in range(K):
         acc_x = jnp.zeros((Y, X), px.dtype)
         acc_y = jnp.zeros((Y, X), py.dtype)
-        any_d = jnp.zeros((Y, X), bool)
         for ok, dest, src_px, src_py in per_offset:
             sel_d = ok & (dest == d)  # at most one true along the K axis
             acc_x = acc_x + jnp.sum(jnp.where(sel_d, src_px, 0), axis=0)
             acc_y = acc_y + jnp.sum(jnp.where(sel_d, src_py, 0), axis=0)
-            any_d = any_d | jnp.any(sel_d, axis=0)
         px_slots.append(acc_x)
         py_slots.append(acc_y)
-        valid_slots.append(any_d)
     out_px = jnp.stack(px_slots, axis=0)
     out_py = jnp.stack(py_slots, axis=0)
-    out_valid = jnp.stack(valid_slots, axis=0)
+    # insertion is front-compacted: valid slots are exactly d < count
+    out_valid = (
+        jnp.arange(K, dtype=jnp.int32)[:, None, None] < count[None]
+    )
 
     return state.replace(
         markers=jnp.stack([out_px.reshape(-1), out_py.reshape(-1)], axis=0),

@@ -59,10 +59,10 @@ def _rebin_kernel(cfg: SimConfig, TY,
     }
 
     count = jnp.zeros((TY, X), jnp.int32)
-    # accumulators per destination slot
+    # accumulators per destination slot (validity is NOT accumulated:
+    # insertion is front-compacted, so valid slots are exactly d < count)
     acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
     acc_py = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
-    acc_va = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
 
     # same (dy, dx) traversal as refresh_marker_counts_slots — the
     # insertion order determines slot assignment within a cell.  Source
@@ -92,7 +92,6 @@ def _rebin_kernel(cfg: SimConfig, TY,
                     mf = okf * (destk == d).astype(jnp.float32)
                     acc_px[d] = acc_px[d] + mf * spx[k]
                     acc_py[d] = acc_py[d] + mf * spy[k]
-                    acc_va[d] = acc_va[d] + mf
                 run = run + selk.astype(jnp.int32)
                 newcount = newcount + okk.astype(jnp.int32)
             count = newcount
@@ -100,7 +99,7 @@ def _rebin_kernel(cfg: SimConfig, TY,
     for d in range(K):
         opx_ref[d] = acc_px[d]
         opy_ref[d] = acc_py[d]
-        ova_ref[d] = acc_va[d]
+        ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(jnp.float32)
     cnt_ref[:] = count
 
 
