@@ -57,6 +57,7 @@ def main():
             tol=1e-6,
             dtype="float32",
             preconditioner=args.precon,
+            use_pallas=args.pallas and not args.cpu,
         ),
     )
     if args.batch > 1:

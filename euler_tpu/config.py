@@ -46,6 +46,10 @@ class SolverConfig:
     # bitwise-closest to the reference loop; larger values amortise the
     # while_loop condition on TPU.
     check_every: int = 1
+    # Run the whole PCG solve as one Pallas kernel (jacobi + f32 only,
+    # grids up to ~2048²); the XLA loop emits thousands of small kernels
+    # per frame and is launch-bound.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

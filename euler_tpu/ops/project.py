@@ -114,6 +114,15 @@ def _inf_norm(r):
 
 def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
     """PCG for A p = b (main.c:738-767).  Returns (p, iterations, resid)."""
+    if cfg.solver.use_pallas:
+        from euler_tpu.ops.pallas.pcg_kernel import (
+            pallas_solver_fits,
+            solve_pressure_pallas,
+        )
+
+        if pallas_solver_fits(cfg):
+            return solve_pressure_pallas(cfg, b, a_diag, fluid)
+
     sdt = b.dtype
     tol = jnp.asarray(cfg.solver.tol, sdt)
     max_iters = cfg.solver.max_iterations

@@ -76,3 +76,36 @@ def test_pallas_rebin_matches_jnp():
     m = np.asarray(rva)
     np.testing.assert_array_equal(np.asarray(opx)[m], np.asarray(rpx)[m])
     np.testing.assert_array_equal(np.asarray(opy)[m], np.asarray(rpy)[m])
+
+
+def test_pallas_pcg_matches_xla():
+    """Single-launch PCG vs the XLA loop: same preconditioner, same
+    stopping rule — solutions agree within solver tolerance."""
+    import numpy as np
+    from euler_tpu.ops import project as P
+    from euler_tpu.ops.pallas.pcg_kernel import solve_pressure_pallas
+
+    N = 64
+    rng = np.random.default_rng(0)
+    fluid = np.zeros((N, N), bool)
+    fluid[2:-2, 2:-2] = True
+    solid = np.zeros((N, N), bool)
+    solid[1] = True
+    fluid &= ~solid
+    b = (rng.standard_normal((N, N)).astype(np.float32)) * fluid
+    cfg = SimConfig(
+        nx=N, ny=N,
+        solver=SolverConfig(max_iterations=400, tol=1e-4, dtype="float32"),
+    )
+    a = P.pressure_matrix_diag(cfg, jnp.asarray(solid), jnp.asarray(fluid))
+    p_ref, it_ref, res_ref = P.solve_pressure(
+        cfg, jnp.asarray(b), a, jnp.asarray(fluid)
+    )
+    p_got, it_got, res_got = solve_pressure_pallas(
+        cfg, jnp.asarray(b), a, jnp.asarray(fluid), interpret=True
+    )
+    assert float(res_got) <= cfg.solver.tol
+    assert float(res_ref) <= cfg.solver.tol
+    np.testing.assert_allclose(
+        np.asarray(p_got), np.asarray(p_ref), atol=5e-3
+    )
