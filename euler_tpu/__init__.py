@@ -7,6 +7,7 @@ conjugate gradient; ASCII/truecolor terminal rendering; scenario files;
 batched and mesh-sharded scale-out.
 """
 
+from euler_tpu import models
 from euler_tpu.config import DEFAULT_CONFIG, SimConfig, SolverConfig
 from euler_tpu.core.scenario import build_scenario, load_scenario
 from euler_tpu.core.state import FluidState, Scenario
@@ -15,6 +16,7 @@ from euler_tpu.sim import run_frames_jit, step_frame, step_frame_jit
 __version__ = "0.1.0"
 
 __all__ = [
+    "models",
     "DEFAULT_CONFIG",
     "SimConfig",
     "SolverConfig",

@@ -68,14 +68,18 @@ def _build(args):
 
 
 def run_headless(args):
-    import jax
-
-    from euler_tpu.sim import run_frames_jit
+    from euler_tpu.sim import step_frame_jit
 
     cfg, scn, state = _build(args)
+    # host loop with one trailing host-read sync: per-frame dispatches
+    # pipeline, and an outer lax.scan measures far slower on tunneled
+    # runtimes (see PERF.md)
+    state = step_frame_jit(cfg, scn, state)  # compile outside the timer
+    float(state.u.sum())
     t0 = time.perf_counter()
-    state = run_frames_jit(cfg, scn, state, args.frames)
-    jax.block_until_ready(state)
+    for _ in range(args.frames):
+        state = step_frame_jit(cfg, scn, state)
+    float(state.u.sum())
     dt = time.perf_counter() - t0
     print(
         f"{args.frames} frames ({cfg.nx}x{cfg.ny}) in {dt:.3f}s "
