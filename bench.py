@@ -25,8 +25,8 @@ REFERENCE_CELL_STEPS_PER_SEC = 3.2e5  # BASELINE.md derived ceiling
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--frames", type=int, default=5)
-    ap.add_argument("--warmup-frames", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--warmup-frames", type=int, default=3)
     ap.add_argument("--pcg-iters", type=int, default=100)
     ap.add_argument("--layout", default="slots", choices=["slots", "global"])
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
