@@ -155,7 +155,9 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
         t_near = jnp.minimum(t_x, t_y)
         dt_rem = jnp.zeros_like(px) + dt
 
-        for _it in range(cfg.marker_march_iters):
+        def march_iter(c):
+            (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+             t_x, t_y, t_prev, t_near, dt_rem) = c
             active = t_near < dt_rem
             horiz = t_x < t_y
             hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
@@ -179,6 +181,24 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
             t_y = jnp.where(active, _time_to(py, npy, vy), t_y)
             t_prev = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
             t_near = jnp.where(active, jnp.minimum(t_x, t_y), t_near)
+            return (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+                    t_x, t_y, t_prev, t_near, dt_rem)
+
+        c = (jnp.int32(0), px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx,
+             npx, npy, t_x, t_y, t_prev, t_near, dt_rem)
+        # bounded while rather than a fixed unroll: most slot-tiles have
+        # no active lane after 1-2 events, so the whole tile early-exits
+        # — the reference's per-particle while (main.c:495), tile-level.
+        # The cap keeps it bitwise-equal to the fixed masked loop of
+        # advect_markers_slots (the skipped iterations are no-ops).
+        c = jax.lax.while_loop(
+            lambda c: (c[0] < cfg.marker_march_iters)
+            & jnp.any(c[14] < c[15]),
+            lambda c: (c[0] + 1,) + march_iter(c[1:]),
+            c,
+        )
+        (_, px, py, vx, vy, _, _, _, _, _, _,
+         t_x, t_y, t_prev, t_near, dt_rem) = c
 
         t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
         opx_ref[k] = px + t * vx
