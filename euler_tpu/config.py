@@ -86,6 +86,11 @@ class SimConfig:
     # Use the fused Pallas TPU kernel for slot-marker advection (same
     # math as the jnp path to within compiler FMA contraction).
     use_pallas_markers: bool = False
+    # Fused Pallas grid stage (extrapolate->zero->advect->gravity->zero).
+    # Measured ~4% SLOWER than the XLA op sequence at 1024² (the 7-deep
+    # row-view materialisations outweigh the launch savings) — kept as
+    # infrastructure for the full-substep fusion planned in ROADMAP.md.
+    use_pallas_grid: bool = False
 
     # Rendering / colour (main.c:83-84).
     rainbow: bool = False

@@ -58,23 +58,33 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     # velocity extrapolation and boundary zeroing see the post-emission
     # fluid mask (emission increments marker_count, main.c:289)
     fluid, prev = state.fluid, state.prev_fluid
-    u = extrapolate(cfg, state.u, fluid, prev, "u")
-    v = extrapolate(cfg, state.v, fluid, prev, "v")
-    u = zero_bounds(cfg, u, fluid, solid, "u")
-    v = zero_bounds(cfg, v, fluid, solid, "v")
+    if cfg.use_pallas_grid and not cfg.rainbow:
+        # fused Pallas grid stage (extrapolate -> zero -> advect ->
+        # gravity -> zero); rainbow needs the intermediate velocities
+        # for colour advection, so it takes the op-by-op path
+        from euler_tpu.ops.pallas.grid_kernel import grid_stage_pallas
 
-    ut = advect_u(cfg, u, v, fluid, dt)
-    vt = advect_v(cfg, u, v, fluid, dt)
-    if cfg.rainbow:
-        state = state.replace(
-            r=advect_p(cfg, state.r, u, v, fluid, dt),
-            g=advect_p(cfg, state.g, u, v, fluid, dt),
-            b=advect_p(cfg, state.b, u, v, fluid, dt),
+        ut, vt = grid_stage_pallas(
+            cfg, state.u, state.v, fluid, prev, solid, dt
         )
+    else:
+        u = extrapolate(cfg, state.u, fluid, prev, "u")
+        v = extrapolate(cfg, state.v, fluid, prev, "v")
+        u = zero_bounds(cfg, u, fluid, solid, "u")
+        v = zero_bounds(cfg, v, fluid, solid, "v")
 
-    vt = apply_body_forces(cfg, vt, dt)
-    ut = zero_bounds(cfg, ut, fluid, solid, "u")
-    vt = zero_bounds(cfg, vt, fluid, solid, "v")
+        ut = advect_u(cfg, u, v, fluid, dt)
+        vt = advect_v(cfg, u, v, fluid, dt)
+        if cfg.rainbow:
+            state = state.replace(
+                r=advect_p(cfg, state.r, u, v, fluid, dt),
+                g=advect_p(cfg, state.g, u, v, fluid, dt),
+                b=advect_p(cfg, state.b, u, v, fluid, dt),
+            )
+
+        vt = apply_body_forces(cfg, vt, dt)
+        ut = zero_bounds(cfg, ut, fluid, solid, "u")
+        vt = zero_bounds(cfg, vt, fluid, solid, "v")
 
     u2, v2, _info = project(cfg, dt, ut, vt, fluid, solid)
     return state.replace(u=u2, v=v2)
