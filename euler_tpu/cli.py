@@ -27,7 +27,8 @@ def parse_args(argv):
     ap = argparse.ArgumentParser(
         prog="euler_tpu", description="TPU-native Eulerian liquid simulator"
     )
-    ap.add_argument("scenario", help="scenario file, or preset:<name> (dam_break, block_obstacles)")
+    ap.add_argument("scenario", nargs="?", default=None,
+                    help="scenario file, or preset:<name> (dam_break, block_obstacles)")
     ap.add_argument("--rainbow", action="store_true")
     ap.add_argument("--size", default=None, help="grid size YxX (default 40x100)")
     ap.add_argument("--frames", type=int, default=0,
@@ -40,11 +41,30 @@ def parse_args(argv):
         help="trap NaNs under jit (the reference's SHERLOCK FP-exception "
         "build option, CMakeLists.txt:14-16)",
     )
-    return ap.parse_args(argv)
+    ap.add_argument("--load", default=None, metavar="CKPT",
+                    help="resume from a checkpoint .npz (scenario arg ignored)")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="checkpoint file to write (with --checkpoint-every)")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                    help="save a checkpoint every N frames (headless runs; "
+                    "saves happen on a background thread)")
+    args = ap.parse_args(argv)
+    if args.checkpoint_every and not args.checkpoint:
+        ap.error("--checkpoint-every requires --checkpoint PATH")
+    return args
 
 
 def _build(args):
     from euler_tpu.config import SimConfig
+
+    if args.load:
+        from euler_tpu.io.checkpoint import load
+
+        return load(args.load)
+    if args.scenario is None:
+        print("usage: euler_tpu [flags] <scenario> (or --load CKPT)",
+              file=sys.stderr)
+        sys.exit(1)
 
     ny, nx = 40, 100
     if args.size:
@@ -71,16 +91,41 @@ def run_headless(args):
     from euler_tpu.sim import step_frame_jit
 
     cfg, scn, state = _build(args)
+
+    # periodic async checkpointing: saves run on a worker thread so the
+    # device step loop never blocks on disk I/O (jax arrays are
+    # immutable, so handing the state pytree across threads is safe)
+    saver = None
+    pending: "queue.Queue" = queue.Queue()
+    if args.checkpoint:
+        from euler_tpu.io.checkpoint import save
+
+        def save_loop():
+            while True:
+                item = pending.get()
+                if item is None:
+                    return
+                save(args.checkpoint, cfg, scn, item)
+
+        saver = threading.Thread(target=save_loop, daemon=True)
+        saver.start()
+
     # host loop with one trailing host-read sync: per-frame dispatches
     # pipeline, and an outer lax.scan measures far slower on tunneled
     # runtimes (see PERF.md)
     state = step_frame_jit(cfg, scn, state)  # compile outside the timer
     float(state.u.sum())
     t0 = time.perf_counter()
-    for _ in range(args.frames):
+    for i in range(args.frames):
         state = step_frame_jit(cfg, scn, state)
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            pending.put(state)
     float(state.u.sum())
     dt = time.perf_counter() - t0
+    if saver is not None:
+        pending.put(state)  # final snapshot
+        pending.put(None)
+        saver.join()
     print(
         f"{args.frames} frames ({cfg.nx}x{cfg.ny}) in {dt:.3f}s "
         f"= {args.frames / dt:.1f} frames/s, "
