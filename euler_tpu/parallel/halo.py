@@ -47,24 +47,51 @@ def halo_exchange_rows(x, axis_name: str):
     return below, above
 
 
-def _apply_a_local(a_diag, fluid, s, axis_name):
-    """Masked 5-point Laplacian on a row-shard with halo exchange."""
-    below, above = halo_exchange_rows(s, axis_name)
+def halo_exchange_cols(x, axis_name: str):
+    """Column analogue of halo_exchange_rows for 2D domain decomposition.
+
+    Returns (left, right): the previous shard's last column and the next
+    shard's first column (zeros at the global edges)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    last_col = x[:, -1:]   # send right
+    first_col = x[:, :1]   # send left
+
+    left = jax.lax.ppermute(
+        last_col, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    right = jax.lax.ppermute(
+        first_col, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+    right = jnp.where(idx == n - 1, jnp.zeros_like(right), right)
+    return left, right
+
+
+def _apply_a_local(a_diag, fluid, s, axis_names):
+    """Masked 5-point Laplacian on a (row[, column])-shard with halo
+    exchange: one ppermute hop per direction per sharded axis."""
+    below, above = halo_exchange_rows(s, axis_names[0])
     up = jnp.concatenate([s[1:], above], axis=0)        # s[y+1]
     down = jnp.concatenate([below, s[:-1]], axis=0)     # s[y-1]
-    left = jnp.pad(s[:, :-1], ((0, 0), (1, 0)))
-    right = jnp.pad(s[:, 1:], ((0, 0), (0, 1)))
+    if len(axis_names) > 1:
+        lh, rh = halo_exchange_cols(s, axis_names[1])
+        left = jnp.concatenate([lh, s[:, :-1]], axis=1)   # s[x-1]
+        right = jnp.concatenate([s[:, 1:], rh], axis=1)   # s[x+1]
+    else:
+        left = jnp.pad(s[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(s[:, 1:], ((0, 0), (0, 1)))
     lap = a_diag.astype(s.dtype) * s - (left + right + up + down)
     return jnp.where(fluid, lap, 0)
 
 
-def _pcg_sharded(cfg: SimConfig, axis_name, b, a_diag, fluid):
+def _pcg_sharded(cfg: SimConfig, axis_names, b, a_diag, fluid):
     """Jacobi-PCG with psum reductions, one shard per device."""
     sdt = b.dtype
     tol = jnp.asarray(cfg.solver.tol, sdt)
     max_iters = cfg.solver.max_iterations
-    psum = partial(jax.lax.psum, axis_name=axis_name)
-    pmax = partial(jax.lax.pmax, axis_name=axis_name)
+    psum = partial(jax.lax.psum, axis_name=axis_names)
+    pmax = partial(jax.lax.pmax, axis_name=axis_names)
 
     def precon(r):
         d = a_diag.astype(sdt)
@@ -90,7 +117,7 @@ def _pcg_sharded(cfg: SimConfig, axis_name, b, a_diag, fluid):
 
     def body(c):
         p, r, s, sigma, i, done = c
-        As = _apply_a_local(a_diag, fluid, s, axis_name)
+        As = _apply_a_local(a_diag, fluid, s, axis_names)
         zs = dot(As, s)
         alpha = sigma / jnp.where(zs != 0, zs, 1)
         p = p + alpha * s
@@ -108,16 +135,18 @@ def _pcg_sharded(cfg: SimConfig, axis_name, b, a_diag, fluid):
     return p
 
 
-def make_sharded_pressure_solver(cfg: SimConfig, mesh: Mesh, axis: str = "y"):
-    """jit-compiled row-sharded pressure solver over `mesh[axis]`.
+def make_sharded_pressure_solver(cfg: SimConfig, mesh: Mesh,
+                                 axes: tuple[str, ...] = ("y",)):
+    """jit-compiled domain-decomposed pressure solver over `mesh[axes]`.
 
-    Inputs/outputs are [Y, X] arrays sharded P(axis, None); Y must divide
-    by the axis size.
+    axes = ("y",) row-shards the grid; axes = ("y", "x") block-shards it
+    in 2D with column halo exchange as well.  Inputs/outputs are [Y, X]
+    arrays sharded P(*axes); each grid dim must divide by its axis size.
     """
-    spec = P(axis, None)
+    spec = P(axes[0], axes[1] if len(axes) > 1 else None)
 
     fn = shard_map(
-        partial(_pcg_sharded, cfg, axis),
+        partial(_pcg_sharded, cfg, axes),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -4,10 +4,10 @@ spatial (row-block) domain decomposition of the grid.
 The reference has no parallelism of any kind (SURVEY.md §2c); this is the
 TPU-native scale-out design:
 
-  * mesh axes ("data", "y"): the batch dimension shards across "data"
-    (pure data parallelism — the fluid analogue of DP), grid rows shard
-    across "y" (spatial domain decomposition — the stencil analogue of
-    tensor/sequence parallelism).
+  * mesh axes ("data", "y", "x"): the batch dimension shards across
+    "data" (pure data parallelism — the fluid analogue of DP), grid rows
+    shard across "y" and columns across "x" (2D spatial domain
+    decomposition — the stencil analogue of tensor/sequence parallelism).
   * shardings are expressed with jax.sharding.NamedSharding and applied
     through jit's in_shardings/out_shardings; XLA's SPMD partitioner
     inserts the halo exchanges for the shifted-array stencils and psums
@@ -30,25 +30,34 @@ from euler_tpu.core.state import FluidState, Scenario
 from euler_tpu.parallel.batch import step_frame_batched
 
 
-def make_mesh(n_devices: int | None = None, data: int | None = None):
-    """Build a ("data", "y") mesh over the first n_devices devices."""
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              x: int = 1):
+    """Build a ("data", "y", "x") mesh over the first n_devices devices.
+
+    `x` > 1 adds column-block spatial sharding on top of the row blocks
+    — full 2D domain decomposition of the grid (the backlog item of
+    ROADMAP.md): XLA then exchanges both row and column halos for the
+    stencils.  Default x=1 keeps the row-only decomposition.
+    """
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    assert n % x == 0, f"{n} devices don't split into x={x} columns"
+    spatial = n // x
     if data is None:
         # favour a square-ish split, data-major
         data = 1
-        for cand in range(int(np.sqrt(n)), 0, -1):
-            if n % cand == 0:
+        for cand in range(int(np.sqrt(spatial)), 0, -1):
+            if spatial % cand == 0:
                 data = cand
                 break
-    y = n // data
-    mesh_devs = np.array(devs[:n]).reshape(data, y)
-    return Mesh(mesh_devs, ("data", "y"))
+    y = spatial // data
+    mesh_devs = np.array(devs[:n]).reshape(data, y, x)
+    return Mesh(mesh_devs, ("data", "y", "x"))
 
 
 def scenario_sharding(mesh: Mesh) -> Scenario:
     """PartitionSpecs for a batched Scenario ([B, Y, X] grids)."""
-    grid = NamedSharding(mesh, P("data", "y", None))
+    grid = NamedSharding(mesh, P("data", "y", "x"))
     rep = NamedSharding(mesh, P("data"))
     return Scenario(
         solid=grid, source=grid, sink=grid, source_yx=rep, source_valid=rep
@@ -57,7 +66,7 @@ def scenario_sharding(mesh: Mesh) -> Scenario:
 
 def state_sharding(mesh: Mesh) -> FluidState:
     """PartitionSpecs for a batched FluidState."""
-    grid = NamedSharding(mesh, P("data", "y", None))
+    grid = NamedSharding(mesh, P("data", "y", "x"))
     markers = NamedSharding(mesh, P("data"))
     scalar = NamedSharding(mesh, P("data"))
     return FluidState(
