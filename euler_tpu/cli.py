@@ -36,6 +36,13 @@ def parse_args(argv):
     ap.add_argument("--fps", type=float, default=10.0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
+        "--pallas",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fused Pallas TPU kernels + slot marker layout (default: on "
+        "for TPU, off with --cpu)",
+    )
+    ap.add_argument(
         "--sherlock",
         action="store_true",
         help="trap NaNs under jit (the reference's SHERLOCK FP-exception "
@@ -66,10 +73,20 @@ def _build(args):
               file=sys.stderr)
         sys.exit(1)
 
+    from euler_tpu.config import SolverConfig
+
     ny, nx = 40, 100
     if args.size:
         ny, nx = (int(t) for t in args.size.lower().split("x"))
-    cfg = SimConfig(nx=nx, ny=ny, rainbow=args.rainbow)
+    use_pallas = (not args.cpu) if args.pallas is None else args.pallas
+    cfg = SimConfig(
+        nx=nx,
+        ny=ny,
+        rainbow=args.rainbow,
+        marker_layout="slots" if use_pallas else "global",
+        use_pallas_markers=use_pallas,
+        solver=SolverConfig(use_pallas=use_pallas),
+    )
 
     if args.scenario.startswith("preset:"):
         from euler_tpu.core import presets
@@ -137,6 +154,7 @@ def run_interactive(args):
     from euler_tpu.ops.color import colorize
     from euler_tpu.render import terminal as term
     from euler_tpu.render.ansi import draw_frame
+    from euler_tpu.render.downsample import draw_frame_downsampled
     from euler_tpu.sim import step_frame_jit
 
     cfg, scn, state = _build(args)
@@ -198,7 +216,13 @@ def run_interactive(args):
                 time.sleep(wait)
             start = time.monotonic()
 
-            buf = draw_frame(cfg, scn, state, window["rows"], window["cols"])
+            # grids larger than the window: pooled on-device gather
+            # (render/downsample.py) instead of the reference's clipping
+            rows, cols = window["rows"], window["cols"]
+            if cfg.ny - 2 > rows or cfg.nx - 2 > cols:
+                buf = draw_frame_downsampled(cfg, scn, state, rows, cols)
+            else:
+                buf = draw_frame(cfg, scn, state, rows, cols)
             try:  # drop the stale frame if the renderer is behind
                 frames.put_nowait(buf)
             except queue.Full:
