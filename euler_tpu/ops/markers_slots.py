@@ -113,7 +113,8 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
 
         px, py, _valid = slot_views(cfg, state)
         opx, opy = advect_markers_pallas(
-            cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt
+            cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
+            state.marker_count,
         )
         new_markers = jnp.stack(
             [opx.reshape(-1), opy.reshape(-1)], axis=0

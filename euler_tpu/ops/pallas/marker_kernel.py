@@ -12,10 +12,14 @@ euler_tpu.ops.markers_slots.advect_markers_slots):
   * marker slots are processed one k-slice at a time inside the kernel,
     keeping the VMEM working set to a few [TY, X] buffers while the XLA
     version materialises [K, Y, X] temporaries between fusions;
-  * the whole march chain stays on-chip.
+  * the whole march chain stays on-chip;
+  * row blocks with no live markers (marker_count all zero) skip the
+    whole body behind one tile-level branch and pass positions through
+    — at 1024² most of the domain is empty air or solid interior.
 
-Bitwise-identical to advect_markers_slots (asserted in
-tests/test_pallas_markers.py, including interpret mode on CPU).
+Bitwise-identical to advect_markers_slots for live slots (asserted in
+tests/test_pallas_markers.py, including interpret mode on CPU); dead
+slots carry garbage either way and are masked by re-binning.
 """
 
 from __future__ import annotations
@@ -86,7 +90,7 @@ def _time_to(p0, p1, vel):
     return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
 
 
-def _march_kernel(cfg: SimConfig, TY, dt_ref,
+def _march_kernel(cfg: SimConfig, TY, dt_ref, cnt_ref,
                   u_m1, u_0, u_p1, v_m1, v_0, v_p1,
                   up_m1, up_0, up_p1, vp_m1, vp_0, vp_p1,
                   so_m1, so_0, so_p1,
@@ -99,115 +103,126 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref,
 
     dt = dt_ref[0, 0]
 
-    def grid9(m1, c0, p1):
-        rows = [m1[:], c0[:], p1[:]]
-        return [[_shift_x(r, dx) for dx in (-1, 0, 1)] for r in rows]
-
-    u9 = grid9(u_m1, u_0, u_p1)
-    v9 = grid9(v_m1, v_0, v_p1)
-    up9 = grid9(up_m1, up_0, up_p1)
-    vp9 = grid9(vp_m1, vp_0, vp_p1)
-    so9 = grid9(so_m1, so_0, so_p1)
-
-    site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 1)
-    site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
-
-    def solid_at(yy, xx):
-        # select in f32 and compare once at the end: Mosaic can't select
-        # between i1 vectors (i8->i1 truncation is unsupported)
-        dy = jnp.clip(yy - site_y, -1, 1)
-        dx = jnp.clip(xx - site_x, -1, 1)
-        out = None
-        for a in (-1, 0, 1):
-            row = jnp.where(
-                dx == -1,
-                so9[a + 1][0],
-                jnp.where(dx == 0, so9[a + 1][1], so9[a + 1][2]),
-            )
-            out = row if out is None else jnp.where(dy == a, row, out)
-        return out != 0
-
-    def do_slot(k, carry_unused):
-        px = px_ref[k]
-        py = py_ref[k]
-
-        bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
-        by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
-        vx = _interp_tile(u9, up9, bx_u, by_u, fx_u, fy_u)
-        bx_v, fx_v = _clamped_base(px * inv_h - 0.5, site_x, X, f)
-        by_v, fy_v = _clamped_base(py * inv_h - 1.0, site_y, Y - 1, f)
-        vy = _interp_tile(v9, vp9, bx_v, by_v, fx_v, fy_v)
-
-        x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
-        y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
-        x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
-        nx_idx = x_idx + (vx > 0)
-        npx = nx_idx.astype(f) * h
-        t_x = _time_to(px, npx, vx)
-        x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
-        y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
-        ny_idx = y_idx + (vy > 0)
-        npy = ny_idx.astype(f) * h
-        t_y = _time_to(py, npy, vy)
-        y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
-
-        t_prev = jnp.zeros_like(px)
-        t_near = jnp.minimum(t_x, t_y)
-        dt_rem = jnp.zeros_like(px) + dt
-
-        def march_iter(c):
-            (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
-             t_x, t_y, t_prev, t_near, dt_rem) = c
-            active = t_near < dt_rem
-            horiz = t_x < t_y
-            hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
-            adv_h = active & horiz & ~hit_h
-            hit_v = active & ~horiz & solid_at(ny_idx + y_off, x_idx)
-            adv_v = active & ~horiz & ~hit_v
-            hit = hit_h | hit_v
-
-            px = jnp.where(hit, px + t_prev * vx, px)
-            py = jnp.where(hit, py + t_prev * vy, py)
-            dt_rem = jnp.where(hit, dt_rem - t_prev, dt_rem)
-            vx = jnp.where(hit_h, 0.0, vx)
-            vy = jnp.where(hit_v, 0.0, vy)
-            x_idx = jnp.where(adv_h, nx_idx, x_idx)
-            nx_idx = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
-            npx = jnp.where(adv_h, nx_idx.astype(f) * h, npx)
-            y_idx = jnp.where(adv_v, ny_idx, y_idx)
-            ny_idx = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
-            npy = jnp.where(adv_v, ny_idx.astype(f) * h, npy)
-            t_x = jnp.where(active, _time_to(px, npx, vx), t_x)
-            t_y = jnp.where(active, _time_to(py, npy, vy), t_y)
-            t_prev = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
-            t_near = jnp.where(active, jnp.minimum(t_x, t_y), t_near)
-            return (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
-                    t_x, t_y, t_prev, t_near, dt_rem)
-
-        c = (jnp.int32(0), px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx,
-             npx, npy, t_x, t_y, t_prev, t_near, dt_rem)
-        # bounded while rather than a fixed unroll: most slot-tiles have
-        # no active lane after 1-2 events, so the whole tile early-exits
-        # — the reference's per-particle while (main.c:495), tile-level.
-        # The cap keeps it bitwise-equal to the fixed masked loop of
-        # advect_markers_slots (the skipped iterations are no-ops).
-        c = jax.lax.while_loop(
-            lambda c: (c[0] < cfg.marker_march_iters)
-            & jnp.any(c[14] < c[15]),
-            lambda c: (c[0] + 1,) + march_iter(c[1:]),
-            c,
-        )
-        (_, px, py, vx, vy, _, _, _, _, _, _,
-         t_x, t_y, t_prev, t_near, dt_rem) = c
-
-        t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
-        opx_ref[k] = px + t * vx
-        opy_ref[k] = py + t * vy
+    def skip_tile(_):
+        # no live marker in this row block: positions pass through
+        # (dead-slot garbage is masked by re-binning)
+        opx_ref[:] = px_ref[:]
+        opy_ref[:] = py_ref[:]
         return 0
 
-    # rolled loop over slots: unrolling keeps all K slices' march
-    # intermediates live at once and blows the VMEM stack budget
-    jax.lax.fori_loop(0, K, do_slot, 0)
+    def march_tile(_):
+        def grid9(m1, c0, p1):
+            rows = [m1[:], c0[:], p1[:]]
+            return [[_shift_x(r, dx) for dx in (-1, 0, 1)] for r in rows]
+
+        u9 = grid9(u_m1, u_0, u_p1)
+        v9 = grid9(v_m1, v_0, v_p1)
+        up9 = grid9(up_m1, up_0, up_p1)
+        vp9 = grid9(vp_m1, vp_0, vp_p1)
+        so9 = grid9(so_m1, so_0, so_p1)
+
+        site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 1)
+        site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
+
+        def solid_at(yy, xx):
+            # select in f32 and compare once at the end: Mosaic can't
+            # select between i1 vectors (i8->i1 truncation is unsupported)
+            dy = jnp.clip(yy - site_y, -1, 1)
+            dx = jnp.clip(xx - site_x, -1, 1)
+            out = None
+            for a in (-1, 0, 1):
+                row = jnp.where(
+                    dx == -1,
+                    so9[a + 1][0],
+                    jnp.where(dx == 0, so9[a + 1][1], so9[a + 1][2]),
+                )
+                out = row if out is None else jnp.where(dy == a, row, out)
+            return out != 0
+
+        def do_slot(k, carry_unused):
+            px = px_ref[k]
+            py = py_ref[k]
+
+            bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
+            by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
+            vx = _interp_tile(u9, up9, bx_u, by_u, fx_u, fy_u)
+            bx_v, fx_v = _clamped_base(px * inv_h - 0.5, site_x, X, f)
+            by_v, fy_v = _clamped_base(py * inv_h - 1.0, site_y, Y - 1, f)
+            vy = _interp_tile(v9, vp9, bx_v, by_v, fx_v, fy_v)
+
+            x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
+            y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
+            x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
+            nx_idx = x_idx + (vx > 0)
+            npx = nx_idx.astype(f) * h
+            t_x = _time_to(px, npx, vx)
+            x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
+            y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
+            ny_idx = y_idx + (vy > 0)
+            npy = ny_idx.astype(f) * h
+            t_y = _time_to(py, npy, vy)
+            y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
+
+            t_prev = jnp.zeros_like(px)
+            t_near = jnp.minimum(t_x, t_y)
+            dt_rem = jnp.zeros_like(px) + dt
+
+            def march_iter(c):
+                (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+                 t_x, t_y, t_prev, t_near, dt_rem) = c
+                active = t_near < dt_rem
+                horiz = t_x < t_y
+                hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
+                adv_h = active & horiz & ~hit_h
+                hit_v = active & ~horiz & solid_at(ny_idx + y_off, x_idx)
+                adv_v = active & ~horiz & ~hit_v
+                hit = hit_h | hit_v
+
+                px = jnp.where(hit, px + t_prev * vx, px)
+                py = jnp.where(hit, py + t_prev * vy, py)
+                dt_rem = jnp.where(hit, dt_rem - t_prev, dt_rem)
+                vx = jnp.where(hit_h, 0.0, vx)
+                vy = jnp.where(hit_v, 0.0, vy)
+                x_idx = jnp.where(adv_h, nx_idx, x_idx)
+                nx_idx = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
+                npx = jnp.where(adv_h, nx_idx.astype(f) * h, npx)
+                y_idx = jnp.where(adv_v, ny_idx, y_idx)
+                ny_idx = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
+                npy = jnp.where(adv_v, ny_idx.astype(f) * h, npy)
+                t_x = jnp.where(active, _time_to(px, npx, vx), t_x)
+                t_y = jnp.where(active, _time_to(py, npy, vy), t_y)
+                t_prev = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
+                t_near = jnp.where(active, jnp.minimum(t_x, t_y), t_near)
+                return (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+                        t_x, t_y, t_prev, t_near, dt_rem)
+
+            c = (jnp.int32(0), px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx,
+                 npx, npy, t_x, t_y, t_prev, t_near, dt_rem)
+            # bounded while rather than a fixed unroll: most slot-tiles have
+            # no active lane after 1-2 events, so the whole tile early-exits
+            # — the reference's per-particle while (main.c:495), tile-level.
+            # The cap keeps it bitwise-equal to the fixed masked loop of
+            # advect_markers_slots (the skipped iterations are no-ops).
+            c = jax.lax.while_loop(
+                lambda c: (c[0] < cfg.marker_march_iters)
+                & jnp.any(c[14] < c[15]),
+                lambda c: (c[0] + 1,) + march_iter(c[1:]),
+                c,
+            )
+            (_, px, py, vx, vy, _, _, _, _, _, _,
+             t_x, t_y, t_prev, t_near, dt_rem) = c
+
+            t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
+            opx_ref[k] = px + t * vx
+            opy_ref[k] = py + t * vy
+            return 0
+
+        # rolled loop over slots: unrolling keeps all K slices' march
+        # intermediates live at once and blows the VMEM stack budget
+        jax.lax.fori_loop(0, K, do_slot, 0)
+        return 0
+
+    jax.lax.cond(jnp.any(cnt_ref[:] != 0), march_tile, skip_tile, 0)
 
 
 def _three_views(a):
@@ -217,13 +232,15 @@ def _three_views(a):
     return p[0:Y], p[1 : Y + 1], p[2 : Y + 2]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(0, 9))
 def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
-                          interpret: bool = False):
+                          count, interpret: bool = False):
     """Fused marker advection: returns (new_px, new_py) [K, Y, X].
 
-    Positions are produced for ALL slots (dead slots yield garbage that
-    re-binning masks out), matching advect_markers_slots' contract.
+    `count` is the per-cell live-marker count ([Y, X]) used only for the
+    tile-level empty-block skip.  Positions are produced for ALL slots
+    (dead slots yield garbage that re-binning masks out), matching
+    advect_markers_slots' contract.
     """
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
@@ -264,6 +281,7 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
             jax.ShapeDtypeStruct((K, Y, X), f),
         ],
         in_specs=[pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        + [row_spec]
         + [row_spec] * 15
         + [slot_spec, slot_spec],
         out_specs=[slot_spec, slot_spec],
@@ -271,5 +289,5 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dt_arr, *planes, px, py)
+    )(dt_arr, count.astype(f), *planes, px, py)
     return opx, opy

@@ -9,7 +9,9 @@ One pass per row-block tile: the nine candidate neighbourhoods arrive as
 three row-shifted views x three in-VMEM x-shifts, destination slots are
 assigned by a running per-cell count with a prefix-sum rank along the
 (leading, K-sized) slot axis, and each output slot accumulates its
-unique candidate with masked sums.  The XLA version of this pass
+unique candidate with masked sums.  Row blocks whose views hold no live
+marker skip the insertion loop behind one tile-level branch and write
+zeros (bitwise-equal: no arrival implies all-zero outputs).  The XLA version of this pass
 materialises dozens of [K, Y, X] intermediates in HBM; here everything
 after the block loads stays on-chip.
 
@@ -58,49 +60,68 @@ def _rebin_kernel(cfg: SimConfig, TY,
         1: (px_p1, py_p1, va_p1),
     }
 
-    count = jnp.zeros((TY, X), jnp.int32)
-    # accumulators per destination slot (validity is NOT accumulated:
-    # insertion is front-compacted, so valid slots are exactly d < count)
-    acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
-    acc_py = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
+    def skip_tile(_):
+        # no live marker in this block or its row halo: every output of
+        # the insertion loop below would be exactly zero — write zeros
+        # (bitwise-equal to the full computation)
+        zf = jnp.zeros((TY, X), jnp.float32)
+        for d in range(K):
+            opx_ref[d] = zf
+            opy_ref[d] = zf
+            ova_ref[d] = zf
+        cnt_ref[:] = jnp.zeros((TY, X), jnp.int32)
+        return 0
 
-    # same (dy, dx) traversal as refresh_marker_counts_slots — the
-    # insertion order determines slot assignment within a cell.  Source
-    # cell is (y-dy, x-dx): row view -dy, x-shift by -dx.
-    for dy in (-1, 0, 1):
-        pxv, pyv, vav = views[-dy]
-        for dx in (-1, 0, 1):
-            spx = _shift_x(pxv[:], -dx)
-            spy = _shift_x(pyv[:], -dx)
-            sva = _shift_x(vav[:], -dx)
-            # bound for (y, x)?  destination = floor(position)
-            ncx = jnp.floor(spx * inv_h).astype(jnp.int32)
-            ncy = jnp.floor(spy * inv_h).astype(jnp.int32)
-            sel = (sva != 0) & (ncx == site_x[None]) & (ncy == site_y[None])
-            # explicit running prefix count over the (small, static) slot
-            # axis — Mosaic has no cumsum primitive.  `run` counts
-            # SELECTED candidates (the cumsum rank), `count` counts
-            # accepted ones, matching refresh_marker_counts_slots.
-            run = count
-            newcount = count
-            for k in range(K):
-                selk = sel[k]
-                destk = run
-                okk = selk & (destk < K) & ~dead
-                okf = okk.astype(jnp.float32)
-                for d in range(K):
-                    mf = okf * (destk == d).astype(jnp.float32)
-                    acc_px[d] = acc_px[d] + mf * spx[k]
-                    acc_py[d] = acc_py[d] + mf * spy[k]
-                run = run + selk.astype(jnp.int32)
-                newcount = newcount + okk.astype(jnp.int32)
-            count = newcount
+    def rebin_tile(_):
+        count = jnp.zeros((TY, X), jnp.int32)
+        # accumulators per destination slot (validity is NOT accumulated:
+        # insertion is front-compacted, so valid slots are exactly d < count)
+        acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
+        acc_py = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
 
-    for d in range(K):
-        opx_ref[d] = acc_px[d]
-        opy_ref[d] = acc_py[d]
-        ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(jnp.float32)
-    cnt_ref[:] = count
+        # same (dy, dx) traversal as refresh_marker_counts_slots — the
+        # insertion order determines slot assignment within a cell.  Source
+        # cell is (y-dy, x-dx): row view -dy, x-shift by -dx.
+        for dy in (-1, 0, 1):
+            pxv, pyv, vav = views[-dy]
+            for dx in (-1, 0, 1):
+                spx = _shift_x(pxv[:], -dx)
+                spy = _shift_x(pyv[:], -dx)
+                sva = _shift_x(vav[:], -dx)
+                # bound for (y, x)?  destination = floor(position)
+                ncx = jnp.floor(spx * inv_h).astype(jnp.int32)
+                ncy = jnp.floor(spy * inv_h).astype(jnp.int32)
+                sel = (sva != 0) & (ncx == site_x[None]) & (ncy == site_y[None])
+                # explicit running prefix count over the (small, static) slot
+                # axis — Mosaic has no cumsum primitive.  `run` counts
+                # SELECTED candidates (the cumsum rank), `count` counts
+                # accepted ones, matching refresh_marker_counts_slots.
+                run = count
+                newcount = count
+                for k in range(K):
+                    selk = sel[k]
+                    destk = run
+                    okk = selk & (destk < K) & ~dead
+                    okf = okk.astype(jnp.float32)
+                    for d in range(K):
+                        mf = okf * (destk == d).astype(jnp.float32)
+                        acc_px[d] = acc_px[d] + mf * spx[k]
+                        acc_py[d] = acc_py[d] + mf * spy[k]
+                    run = run + selk.astype(jnp.int32)
+                    newcount = newcount + okk.astype(jnp.int32)
+                count = newcount
+
+        for d in range(K):
+            opx_ref[d] = acc_px[d]
+            opy_ref[d] = acc_py[d]
+            ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(jnp.float32)
+        cnt_ref[:] = count
+        return 0
+
+    # tile-level skip: arrivals can only come from this block's rows and
+    # their 1-row halo, all present in the three valid views
+    any_live = jnp.any((va_m1[:] + va_0[:] + va_p1[:]) != 0)
+    jax.lax.cond(any_live, rebin_tile, skip_tile, 0)
 
 
 def _three_row_views(a):

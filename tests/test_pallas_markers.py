@@ -34,7 +34,8 @@ def test_pallas_march_matches_jnp():
 
     px, py, valid = slot_views(cfg, st)
     opx, opy = advect_markers_pallas(
-        cfg, st.u, st.v, st.fluid, scn.solid, px, py, dt, interpret=True
+        cfg, st.u, st.v, st.fluid, scn.solid, px, py, dt,
+        st.marker_count, interpret=True,
     )
 
     valid = np.asarray(valid)
