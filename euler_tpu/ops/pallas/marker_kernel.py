@@ -217,9 +217,19 @@ def _march_kernel(cfg: SimConfig, TY, dt_ref, cnt_ref,
             opy_ref[k] = py + t * vy
             return 0
 
+        def copy_slot(k, carry_unused):
+            opx_ref[k] = px_ref[k]
+            opy_ref[k] = py_ref[k]
+            return 0
+
         # rolled loop over slots: unrolling keeps all K slices' march
-        # intermediates live at once and blows the VMEM stack budget
-        jax.lax.fori_loop(0, K, do_slot, 0)
+        # intermediates live at once and blows the VMEM stack budget.
+        # Validity is a front-compaction prefix (slot k live iff
+        # k < count[cell]), so slots >= max(count) over the tile are dead
+        # everywhere — copy those through instead of marching them.
+        kmax = jnp.max(cnt_ref[:]).astype(jnp.int32)
+        jax.lax.fori_loop(0, kmax, do_slot, 0)
+        jax.lax.fori_loop(kmax, K, copy_slot, 0)
         return 0
 
     jax.lax.cond(jnp.any(cnt_ref[:] != 0), march_tile, skip_tile, 0)
