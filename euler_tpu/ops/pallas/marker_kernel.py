@@ -90,39 +90,44 @@ def _time_to(p0, p1, vel):
     return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
 
 
-def _march_kernel(cfg: SimConfig, TY, dt_ref, cnt_ref,
-                  u_m1, u_0, u_p1, v_m1, v_0, v_p1,
-                  up_m1, up_0, up_p1, vp_m1, vp_0, vp_p1,
-                  so_m1, so_0, so_p1,
-                  px_ref, py_ref, opx_ref, opy_ref):
+def _march_kernel(cfg: SimConfig, TY, TX, dt_ref, cnt_ref, *refs):
+    """refs: 45 grid-view refs (5 planes x 9 (dy, dx) shifted views),
+    then px, py inputs and opx, opy outputs, each [K, TY, TX]."""
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     h = np.float32(cfg.side_length)
     inv_h = np.float32(1.0) / h
     f = jnp.float32
     row0 = pl.program_id(0) * TY
+    col0 = pl.program_id(1) * TX
+    views = [refs[i * 9 : (i + 1) * 9] for i in range(5)]
+    px_ref, py_ref, opx_ref, opy_ref = refs[45:49]
 
     dt = dt_ref[0, 0]
 
     def skip_tile(_):
-        # no live marker in this row block: positions pass through
+        # no live marker in this block: positions pass through
         # (dead-slot garbage is masked by re-binning)
         opx_ref[:] = px_ref[:]
         opy_ref[:] = py_ref[:]
         return 0
 
     def march_tile(_):
-        def grid9(m1, c0, p1):
-            rows = [m1[:], c0[:], p1[:]]
-            return [[_shift_x(r, dx) for dx in (-1, 0, 1)] for r in rows]
+        def grid9(vs):
+            # [dy+1][dx+1][y, x] == plane[y+dy, x+dx] (views precomputed
+            # in HBM, so x-halos need no in-VMEM shifts)
+            return [
+                [vs[(dy + 1) * 3 + (dx + 1)][:] for dx in (-1, 0, 1)]
+                for dy in (-1, 0, 1)
+            ]
 
-        u9 = grid9(u_m1, u_0, u_p1)
-        v9 = grid9(v_m1, v_0, v_p1)
-        up9 = grid9(up_m1, up_0, up_p1)
-        vp9 = grid9(vp_m1, vp_0, vp_p1)
-        so9 = grid9(so_m1, so_0, so_p1)
+        u9 = grid9(views[0])
+        v9 = grid9(views[1])
+        up9 = grid9(views[2])
+        vp9 = grid9(views[3])
+        so9 = grid9(views[4])
 
-        site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 1)
-        site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, X), 0) + row0
+        site_x = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + col0
+        site_y = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0) + row0
 
         def solid_at(yy, xx):
             # select in f32 and compare once at the end: Mosaic can't
@@ -242,6 +247,21 @@ def _three_views(a):
     return p[0:Y], p[1 : Y + 1], p[2 : Y + 2]
 
 
+def _nine_views(a):
+    """view(dy, dx)[y, x] == a[y+dy, x+dx], zero beyond edges; dy-major.
+
+    HBM-precomputed 2D halo views: column-tiled kernel blocks read their
+    x-neighbours without in-VMEM shifts (x-shifts can't cross a tile
+    edge)."""
+    Y, X = a.shape
+    p = jnp.pad(a, ((1, 1), (1, 1)))
+    return tuple(
+        p[1 + dy : 1 + dy + Y, 1 + dx : 1 + dx + X]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 9))
 def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
                           count, interpret: bool = False):
@@ -255,14 +275,17 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
 
-    # TY=32 keeps the double-buffered working set (4 slot blocks of
-    # [K, TY, X] f32 + 15 row planes) within the 16 MB VMEM budget.
-    # tile height adapted to X so the double-buffered VMEM working set
-    # stays inside the limit (~19 K-deep blocks of [K, TY, X] f32)
-    TY = min(Y, 32 if X <= 2048 else 8)
+    # 2D (row x column) tiles: finer empty-block skip granularity (a
+    # vertical fluid column leaves column blocks beside it skippable)
+    # and a more local max(count) slot bound.  TX is capped so the VMEM
+    # working set stays small at any grid size.
+    TX = min(X, 256)
+    while X % TX:
+        TX //= 2
+    TY = min(Y, 32)
     while Y % TY:
         TY //= 2
-    grid = (Y // TY,)
+    grid = (Y // TY, X // TX)
 
     planes = []
     for a in (
@@ -272,17 +295,19 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
         v_property(fluid).astype(f),
         solid.astype(f),
     ):
-        planes.extend(_three_views(a))
+        planes.extend(_nine_views(a))
 
     # (1, 128) VMEM plane rather than an SMEM scalar: the SMEM form
     # breaks the pallas_call batching rule under vmap
     dt_arr = jnp.full((1, 128), dt, f)
 
-    row_spec = pl.BlockSpec((TY, X), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    slot_spec = pl.BlockSpec(
-        (K, TY, X), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    tile_spec = pl.BlockSpec(
+        (TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_march_kernel, cfg, TY)
+    slot_spec = pl.BlockSpec(
+        (K, TY, TX), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_march_kernel, cfg, TY, TX)
     opx, opy = pl.pallas_call(
         kernel,
         grid=grid,
@@ -290,9 +315,12 @@ def advect_markers_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((K, Y, X), f),
         ],
-        in_specs=[pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)]
-        + [row_spec]
-        + [row_spec] * 15
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [tile_spec]
+        + [tile_spec] * 45
         + [slot_spec, slot_spec],
         out_specs=[slot_spec, slot_spec],
         compiler_params=pltpu.CompilerParams(
