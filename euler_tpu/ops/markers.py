@@ -245,10 +245,11 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
 
         # The reference consumes randf() twice inside a single call
         # expression (main.c:288) whose evaluation order C leaves
-        # unspecified; we fix x-jitter first, matching the well-defined
-        # order used at init (main.c:260-261).
-        rx, rng_a = rng_mod.randf32(rng)
-        ry, rng_b = rng_mod.randf32(rng_a)
+        # unspecified; the gcc-compiled binary evaluates right-to-left,
+        # so the Y jitter draws first.  Verified against the real
+        # binary's frames (tests/test_ref_binary.py).
+        ry, rng_a = rng_mod.randf32(rng)
+        rx, rng_b = rng_mod.randf32(rng_a)
         rng = jnp.where(can, rng_b, rng)
 
         pos_x = (x.astype(rx.dtype) + rx) * h

@@ -327,8 +327,11 @@ def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState)
         rng, alive_count, exhausted = carry
         y, x, count, valid = inp
         can = valid & (~exhausted) & (count < cfg.markers_per_cell) & (count < K)
-        rx, rng_a = rng_mod.randf32(rng)
-        ry, rng_b = rng_mod.randf32(rng_a)
+        # gcc evaluates main.c:288's two randf() args right-to-left:
+        # Y jitter draws first (verified vs the compiled binary,
+        # tests/test_ref_binary.py).
+        ry, rng_a = rng_mod.randf32(rng)
+        rx, rng_b = rng_mod.randf32(rng_a)
         rng = jnp.where(can, rng_b, rng)
         pos_x = (x.astype(rx.dtype) + rx) * h
         pos_y = (y.astype(ry.dtype) + ry) * h

@@ -24,7 +24,7 @@ from oracle.oracle import Oracle  # noqa: E402
 
 SCENARIOS = ["basic.txt", "block.txt", "filter.txt", "waterfall.txt",
              "weird-edges.txt"]
-FRAMES = (1, 5, 10)
+FRAMES = (1, 5, 10, 25, 50)
 
 
 def counts_of(ora):

@@ -212,8 +212,15 @@ class Oracle:
             for x in range(self.X):
                 if self.source[y, x]:
                     if not self.source_exhausted and self.marker_count[y, x] < 4:
-                        mx = _f32(self.h * _f32(x + self.rng.randf()))
-                        my = _f32(self.h * _f32(y + self.rng.randf()))
+                        # main.c:288 calls randf() twice inside one
+                        # expression (unspecified order); the gcc-built
+                        # binary evaluates RIGHT-to-left, so the y jitter
+                        # consumes the first draw.  Verified against the
+                        # compiled reference (tests/test_ref_binary.py).
+                        jy = self.rng.randf()
+                        jx = self.rng.randf()
+                        mx = _f32(self.h * _f32(x + jx))
+                        my = _f32(self.h * _f32(y + jy))
                         self.markers.append([mx, my])
                         self.marker_count[y, x] += 1
                         self.source_exhausted |= len(self.markers) == self.max_markers - 1
