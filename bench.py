@@ -97,6 +97,25 @@ def main():
     cell_steps = cells * cfg.max_substeps * args.frames * args.batch
     value = cell_steps / elapsed
 
+    # solve-quality probe: inf-norm of the fluid-masked velocity
+    # divergence after the final projection, so the JSON records what
+    # solve fidelity sits behind the throughput number
+    import jax.numpy as jnp
+
+    from euler_tpu.ops.project import divergence_rhs
+
+    @jax.jit
+    def div_inf(state):
+        fluid = state.marker_count > 0
+        b = divergence_rhs(cfg, state.u, state.v, fluid,
+                           jnp.asarray(1.0, state.u.dtype))
+        return jnp.max(jnp.abs(b))
+
+    if args.batch > 1:
+        residual = float(jax.vmap(div_inf)(state).max())
+    else:
+        residual = float(div_inf(state))
+
     suffix = f" x{args.batch}" if args.batch > 1 else ""
     print(
         json.dumps(
@@ -105,6 +124,9 @@ def main():
                 "value": value,
                 "unit": "cell-steps/s",
                 "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,
+                "precon": args.precon,
+                "pcg_iters_budget": args.pcg_iters,
+                "post_projection_div_inf": residual,
             }
         )
     )

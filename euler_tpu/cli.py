@@ -130,8 +130,11 @@ def run_headless(args):
     # host loop with one trailing host-read sync: per-frame dispatches
     # pipeline, and an outer lax.scan measures far slower on tunneled
     # runtimes (see PERF.md)
-    state = step_frame_jit(cfg, scn, state)  # compile outside the timer
-    float(state.u.sum())
+    # compile + execute a warm-up frame outside the timer, DISCARDING its
+    # result so --frames N simulates exactly N frames
+    warm = step_frame_jit(cfg, scn, state)
+    float(warm.u.sum())
+    del warm
     t0 = time.perf_counter()
     for i in range(args.frames):
         state = step_frame_jit(cfg, scn, state)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +46,21 @@ def save(path: str, cfg: SimConfig, scn: Scenario, state: FluidState) -> None:
     arrays["config_json"] = np.frombuffer(
         _cfg_to_json(cfg).encode(), dtype=np.uint8
     )
-    np.savez_compressed(path, **arrays)
+    # atomic update: write a sibling temp file and rename over the
+    # destination, so a crash mid-save (saves run on a background
+    # thread) can never truncate the previous good checkpoint
+    directory = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load(path: str):

@@ -56,15 +56,15 @@ def test_cli_checkpoint_and_resume(tmp_path):
         check=True, env=env, cwd=os.getcwd(), capture_output=True,
     )
     cfg, scn, st = checkpoint.load(path)
-    assert int(st.frame_count) == 5  # warmup frame + 4 timed frames
+    assert int(st.frame_count) == 4  # exactly the requested frames
 
-    # straight run to frame 7 vs resume for 2 more frames
+    # straight run to frame 6 vs resume for 2 more frames
     for _ in range(2):
         st = step_frame_jit(cfg, scn, st)
 
     cfg2 = SimConfig()
     scn2, st2 = build_scenario(read_scenario("basic.txt"), cfg2)
-    for _ in range(7):
+    for _ in range(6):
         st2 = step_frame_jit(cfg2, scn2, st2)
     np.testing.assert_array_equal(np.asarray(st.u), np.asarray(st2.u))
     np.testing.assert_array_equal(
