@@ -86,6 +86,11 @@ class SimConfig:
     # Use the fused Pallas TPU kernel for slot-marker advection (same
     # math as the jnp path to within compiler FMA contraction).
     use_pallas_markers: bool = False
+    # Fuse the marker march + re-binning into ONE Pallas launch with
+    # manual halo DMA (ops/pallas/marker_fused_kernel.py) — the two
+    # standalone kernels move ~3x the HBM traffic.  Only takes effect
+    # with marker_layout="slots" and use_pallas_markers=True.
+    fuse_marker_pass: bool = True
     # Fused Pallas grid stage (extrapolate->zero->advect->gravity->zero).
     # Measured ~4% SLOWER than the XLA op sequence at 1024² (the 7-deep
     # row-view materialisations outweigh the launch savings) — kept as

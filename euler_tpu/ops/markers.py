@@ -200,6 +200,20 @@ def get_marker_ops(cfg: SimConfig):
     return advect_markers, refresh_marker_counts, update_fluid_sources
 
 
+def get_marker_pass(cfg: SimConfig):
+    """One function for the whole march + re-bin stage (may be fused)."""
+    if cfg.marker_layout == "slots":
+        from euler_tpu.ops import markers_slots as ms
+
+        return ms.marker_pass_slots
+
+    def _pass(cfg, scn, state, dt):
+        state = advect_markers(cfg, scn, state, dt)
+        return refresh_marker_counts(cfg, scn, state)
+
+    return _pass
+
+
 def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
     """main.c:276-298.
 

@@ -45,6 +45,19 @@ from euler_tpu.ops.interp_stencil import interpolate_stencil
 
 _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
+# Re-binning insertion order: own cell first (stayers keep low slots —
+# the all-stay steady state maps slot k to slot k), then the 8
+# neighbour offsets lexicographically.  All three re-binning
+# implementations (this jnp twin, ops/pallas/rebin_kernel.py,
+# ops/pallas/marker_fused_kernel.py) MUST traverse identically: the
+# order defines slot assignment within a cell.
+OFFSETS_OWN_FIRST = [(0, 0)] + [
+    (dy, dx)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    if (dy, dx) != (0, 0)
+]
+
 
 def slot_views(cfg: SimConfig, state: FluidState):
     """(px [K,Y,X], py [K,Y,X], valid [K,Y,X]) views of the flat arrays."""
@@ -248,19 +261,22 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
 
     # Pass 1 (sequential over the 9 offsets — the running per-cell count
     # orders arrivals): which candidates land, in which destination slot.
+    # The own cell (0, 0) is processed FIRST: stayers keep low slots (in
+    # the common all-stay case slot k maps to slot k), which is what lets
+    # the Pallas kernels take a triangular/copy fast path.  Arrivals
+    # from the 8 neighbours follow in lexicographic order.
     count = jnp.zeros((Y, X), jnp.int32)
     per_offset = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            # markers held by cell (y-dy, x-dx) that are bound for (y, x)
-            src_sel = _shift2(valid & (ody == dy) & (odx == dx), dy, dx)
-            src_px = _shift2(px, dy, dx)
-            src_py = _shift2(py, dy, dx)
-            rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=0) - 1
-            dest = count[None] + rank
-            ok = src_sel & (dest < K) & ~dead_cell[None]
-            per_offset.append((ok, dest, src_px, src_py))
-            count = count + jnp.sum(ok, axis=0, dtype=jnp.int32)
+    for dy, dx in OFFSETS_OWN_FIRST:
+        # markers held by cell (y-dy, x-dx) that are bound for (y, x)
+        src_sel = _shift2(valid & (ody == dy) & (odx == dx), dy, dx)
+        src_px = _shift2(px, dy, dx)
+        src_py = _shift2(py, dy, dx)
+        rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=0) - 1
+        dest = count[None] + rank
+        ok = src_sel & (dest < K) & ~dead_cell[None]
+        per_offset.append((ok, dest, src_px, src_py))
+        count = count + jnp.sum(ok, axis=0, dtype=jnp.int32)
 
     # Pass 2: each destination slot's (unique) candidate as pure masked
     # sums over [Y, X] planes — one big multi-output elementwise dataflow
@@ -289,6 +305,32 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         marker_count=count,
         alive_count=jnp.sum(count),
     )
+
+
+def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+    """March + re-bin, fused into one Pallas launch when enabled.
+
+    Semantically identical to advect_markers_slots followed by
+    refresh_marker_counts_slots (asserted bitwise in
+    tests/test_pallas_markers.py)."""
+    if cfg.use_pallas_markers and cfg.fuse_marker_pass:
+        from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
+
+        px, py, _valid = slot_views(cfg, state)
+        dead = (scn.sink | scn.solid).astype(px.dtype)
+        opx, opy, ova, count = march_rebin_pallas(
+            cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
+            state.marker_count, dead=dead,
+        )
+        return state.replace(
+            markers=jnp.stack([opx.reshape(-1), opy.reshape(-1)], axis=0),
+            alive=(ova != 0).reshape(-1),
+            prev_marker_count=state.marker_count,
+            marker_count=count,
+            alive_count=jnp.sum(count),
+        )
+    state = advect_markers_slots(cfg, scn, state, dt)
+    return refresh_marker_counts_slots(cfg, scn, state)
 
 
 def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState):

@@ -1,0 +1,516 @@
+"""Pallas TPU kernel: ONE fused, software-pipelined marker pass.
+
+Fuses advect_markers_slots + refresh_marker_counts_slots
+(main.c:464-537 + main.c:102-117) into a single kernel launch per
+substep.  The standalone pair moves ~700 MB/substep of HBM traffic at
+1024² (the re-binning kernel alone streams NINE [K, Y, X] row-shifted
+views); here each 2D tile DMAs ONE haloed window of everything it
+needs, marches every marker in the tile and its 1-cell halo (halo
+markers are re-marched redundantly by the owning neighbour tile —
+bitwise-identical arithmetic, so no communication), and re-bins
+entirely in VMEM.
+
+The manual halo DMAs are software-pipelined two tiles deep (Pallas
+cannot auto-pipeline manually-DMA'd windows the way it does BlockSpec
+streams): at tile n the kernel
+  1. waits tile n+1's count window (started at n-1) and, if it shows
+     any live marker, starts tile n+1's grid+slot window DMAs;
+  2. starts tile n+2's count window DMA;
+  3. waits its own window DMAs (in flight since n-1) and computes.
+Tiles whose count window is all zero skip both the big DMAs and all
+compute (the CFL bound ==> no marker can arrive from beyond the halo),
+so empty regions cost one small count-window DMA and nothing else.
+
+Validity is never streamed: slots are front-compacted, so slot k of a
+cell is live iff k < count — the count window already in VMEM.
+
+Bitwise-identical to the two-kernel path (asserted against the jnp
+slots pipeline in tests/test_pallas_markers.py, including interpret
+mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from euler_tpu.config import SimConfig
+from euler_tpu.core.state import u_property, v_property
+from euler_tpu.ops.interp import bilinear
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def _interp_tile(q9, p9, at_bx, at_by, frac_x, frac_y):
+    """Fraction-snapped bilinear (main.c:301-364) on a row tile."""
+
+    def corner(cy, cx):
+        def pick(S):
+            lo = jnp.where(at_bx, S[cy][cx + 1], S[cy][cx])
+            hi = jnp.where(at_bx, S[cy + 1][cx + 1], S[cy + 1][cx])
+            return jnp.where(at_by, hi, lo)
+
+        return pick(p9) != 0, pick(q9)
+
+    v00, q00 = corner(0, 0)
+    v01, q01 = corner(0, 1)
+    v10, q10 = corner(1, 0)
+    v11, q11 = corner(1, 1)
+    q00 = jnp.where(v00, q00, 0.0)
+    q01 = jnp.where(v01, q01, 0.0)
+    q10 = jnp.where(v10, q10, 0.0)
+    q11 = jnp.where(v11, q11, 0.0)
+    return bilinear(q00, q01, q10, q11, frac_x, frac_y, v00, v01, v10, v11)
+
+
+def _clamped_base(idx, site, size, f):
+    """clamp + modf of interpolate (main.c:337-346) relative to the site."""
+    hi = np.nextafter(np.array(size - 1, f), np.array(0.0, f))
+    ix = jnp.clip(idx, 0.0, hi)
+    whole = jnp.floor(ix)
+    frac = ix - whole
+    at_base = whole.astype(jnp.int32) == site
+    return at_base, frac
+
+
+def _time_to(p0, p1, vel):
+    nz = jnp.abs(vel) > 0.0
+    return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
+
+
+def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
+                  dt_ref, dead_ref, cnt_hbm, grid_hbm, slots_hbm,
+                  opx_ref, opy_ref, ova_ref, ocnt_ref,
+                  csc, gsc, ssc, sems):
+    """csc: [3, RW, LW] count windows; gsc: [2*5, RW, LW] grid windows;
+    ssc: [2*2K, RW, LW] slot windows; sems: 7 DMA semaphores
+    (0-2 count, 3-4 grid, 5-6 slots)."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    TH, TW = TY + 2, TX + 2  # halo tile (marched cells)
+    h = np.float32(cfg.side_length)
+    inv_h = np.float32(1.0) / h
+    f = jnp.float32
+    n = pl.program_id(0)
+    dt = dt_ref[0, 0]
+
+    def origin(m):
+        return (m // nj) * TY, (m % nj) * TX
+
+    def count_dma(m):
+        r0, c0 = origin(m)
+        return pltpu.make_async_copy(
+            cnt_hbm.at[pl.ds(r0, RW), pl.ds(c0, LW)],
+            csc.at[m % 3], sems.at[m % 3],
+        )
+
+    def grid_dma(m):
+        r0, c0 = origin(m)
+        return pltpu.make_async_copy(
+            grid_hbm.at[:, pl.ds(r0, RW), pl.ds(c0, LW)],
+            gsc.at[pl.ds((m % 2) * 5, 5)], sems.at[3 + m % 2],
+        )
+
+    def slots_dma(m):
+        r0, c0 = origin(m)
+        return pltpu.make_async_copy(
+            slots_hbm.at[:, pl.ds(r0, RW), pl.ds(c0, LW)],
+            ssc.at[pl.ds((m % 2) * 2 * K, 2 * K)], sems.at[5 + m % 2],
+        )
+
+    def live(m):
+        # reduce over the true halo rows/cols only: the DMA window
+        # over-reads real rows below the tile (alignment), and counting
+        # those would make air tiles above a fluid surface do full work
+        return jnp.any(csc[m % 3, 0:TH, 0:TW] > 0)
+
+    # ---- pipeline bookkeeping -------------------------------------
+    @pl.when(n == 0)
+    def _prologue():
+        count_dma(0).start()
+        count_dma(0).wait()
+
+        @pl.when(live(0))
+        def _():
+            grid_dma(0).start()
+            slots_dma(0).start()
+
+        @pl.when(nt > 1)
+        def _():
+            count_dma(1).start()
+
+    @pl.when(n + 1 < nt)
+    def _advance():
+        count_dma(n + 1).wait()
+
+        @pl.when(live(n + 1))
+        def _():
+            grid_dma(n + 1).start()
+            slots_dma(n + 1).start()
+
+    @pl.when(n + 2 < nt)
+    def _prefetch():
+        count_dma(n + 2).start()
+
+    # ---- this tile -------------------------------------------------
+    row0, col0 = origin(n)
+    cslot = n % 3
+    bslot = n % 2
+
+    def skip_tile(_):
+        zf = jnp.zeros((TY, TX), f)
+        for d in range(K):
+            opx_ref[d] = zf
+            opy_ref[d] = zf
+            ova_ref[d] = zf
+        ocnt_ref[:] = jnp.zeros((TY, TX), jnp.int32)
+        return 0
+
+    def work_tile(_):
+        grid_dma(n).wait()
+        slots_dma(n).wait()
+
+        # ---- march (advect_markers_slots on the [TH, TW] halo tile) ----
+        def grid9(p):
+            # [dy+1][dx+1][y, x] == plane[y+dy, x+dx] for halo-tile sites
+            return [
+                [gsc[bslot * 5 + p, 1 + dy : 1 + dy + TH, 1 + dx : 1 + dx + TW]
+                 for dx in (-1, 0, 1)]
+                for dy in (-1, 0, 1)
+            ]
+
+        u9 = grid9(0)
+        v9 = grid9(1)
+        up9 = grid9(2)
+        vp9 = grid9(3)
+        so9 = grid9(4)
+
+        site_x = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
+        site_y = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + (row0 - 1)
+
+        def solid_at(yy, xx):
+            # select in f32 and compare once at the end: Mosaic can't
+            # select between i1 vectors
+            dy = jnp.clip(yy - site_y, -1, 1)
+            dx = jnp.clip(xx - site_x, -1, 1)
+            out = None
+            for a in (-1, 0, 1):
+                row = jnp.where(
+                    dx == -1,
+                    so9[a + 1][0],
+                    jnp.where(dx == 0, so9[a + 1][1], so9[a + 1][2]),
+                )
+                out = row if out is None else jnp.where(dy == a, row, out)
+            return out != 0
+
+        def do_slot(k, carry_unused):
+            px = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
+            py = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
+
+            bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
+            by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
+            vx = _interp_tile(u9, up9, bx_u, by_u, fx_u, fy_u)
+            bx_v, fx_v = _clamped_base(px * inv_h - 0.5, site_x, X, f)
+            by_v, fy_v = _clamped_base(py * inv_h - 1.0, site_y, Y - 1, f)
+            vy = _interp_tile(v9, vp9, bx_v, by_v, fx_v, fy_v)
+
+            x_idx = jnp.floor(px * inv_h).astype(jnp.int32)
+            y_idx = jnp.floor(py * inv_h).astype(jnp.int32)
+            x_dir = jnp.where(vx > 0, 1, -1).astype(jnp.int32)
+            nx_idx = x_idx + (vx > 0)
+            npx = nx_idx.astype(f) * h
+            t_x = _time_to(px, npx, vx)
+            x_off = jnp.where(vx < 0, -1, 0).astype(jnp.int32)
+            y_dir = jnp.where(vy > 0, 1, -1).astype(jnp.int32)
+            ny_idx = y_idx + (vy > 0)
+            npy = ny_idx.astype(f) * h
+            t_y = _time_to(py, npy, vy)
+            y_off = jnp.where(vy < 0, -1, 0).astype(jnp.int32)
+
+            t_prev = jnp.zeros_like(px)
+            t_near = jnp.minimum(t_x, t_y)
+            dt_rem = jnp.zeros_like(px) + dt
+
+            def march_iter(c):
+                (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+                 t_x, t_y, t_prev, t_near, dt_rem) = c
+                active = t_near < dt_rem
+                horiz = t_x < t_y
+                hit_h = active & horiz & solid_at(y_idx, nx_idx + x_off)
+                adv_h = active & horiz & ~hit_h
+                hit_v = active & ~horiz & solid_at(ny_idx + y_off, x_idx)
+                adv_v = active & ~horiz & ~hit_v
+                hit = hit_h | hit_v
+
+                px = jnp.where(hit, px + t_prev * vx, px)
+                py = jnp.where(hit, py + t_prev * vy, py)
+                dt_rem = jnp.where(hit, dt_rem - t_prev, dt_rem)
+                vx = jnp.where(hit_h, 0.0, vx)
+                vy = jnp.where(hit_v, 0.0, vy)
+                x_idx = jnp.where(adv_h, nx_idx, x_idx)
+                nx_idx = jnp.where(adv_h, nx_idx + x_dir, nx_idx)
+                npx = jnp.where(adv_h, nx_idx.astype(f) * h, npx)
+                y_idx = jnp.where(adv_v, ny_idx, y_idx)
+                ny_idx = jnp.where(adv_v, ny_idx + y_dir, ny_idx)
+                npy = jnp.where(adv_v, ny_idx.astype(f) * h, npy)
+                t_x = jnp.where(active, _time_to(px, npx, vx), t_x)
+                t_y = jnp.where(active, _time_to(py, npy, vy), t_y)
+                t_prev = jnp.where(active, jnp.where(hit, 0.0, t_near), t_prev)
+                t_near = jnp.where(active, jnp.minimum(t_x, t_y), t_near)
+                return (px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx, npx, npy,
+                        t_x, t_y, t_prev, t_near, dt_rem)
+
+            c = (jnp.int32(0), px, py, vx, vy, x_idx, y_idx, nx_idx, ny_idx,
+                 npx, npy, t_x, t_y, t_prev, t_near, dt_rem)
+            c = jax.lax.while_loop(
+                lambda c: (c[0] < cfg.marker_march_iters)
+                & jnp.any(c[14] < c[15]),
+                lambda c: (c[0] + 1,) + march_iter(c[1:]),
+                c,
+            )
+            (_, px, py, vx, vy, _, _, _, _, _, _,
+             t_x, t_y, t_prev, t_near, dt_rem) = c
+
+            t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
+            # march in place: re-binning reads the marched window below
+            ssc[bslot * 2 * K + k, 0:TH, 0:TW] = px + t * vx
+            ssc[bslot * 2 * K + K + k, 0:TH, 0:TW] = py + t * vy
+            return 0
+
+        # validity is front-compacted, so slots >= max(count) are dead
+        # everywhere in the window — only kmax slots march
+        kmax = jnp.max(csc[cslot, 0:TH, 0:TW]).astype(jnp.int32)
+        jax.lax.fori_loop(0, kmax, do_slot, 0)
+
+        # ---- re-binning (refresh_marker_counts_slots, tile interior) ----
+        dst_x = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + col0
+        dst_y = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0) + row0
+        dead = dead_ref[:] != 0
+
+        # hoist the destination-cell floors out of the 9-view loop: each
+        # marched slot's target cell is computed once on the halo tile
+        hx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
+        hy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + (row0 - 1)
+        movx = []
+        movy = []
+        for k in range(K):
+            mpx = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
+            mpy = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
+            movx.append(jnp.floor(mpx * inv_h).astype(jnp.int32) - hx)
+            movy.append(jnp.floor(mpy * inv_h).astype(jnp.int32) - hy)
+
+        count = jnp.zeros((TY, TX), jnp.int32)
+        acc_px = [jnp.zeros((TY, TX), f) for _ in range(K)]
+        acc_py = [jnp.zeros((TY, TX), f) for _ in range(K)]
+
+        # ---- own cell first (offset (0, 0), OFFSETS_OWN_FIRST[0]) ----
+        # Processed before any arrival, so a stayer's destination rank is
+        # at most its own slot index (triangular one-hot), and when NO
+        # live marker in the tile leaves its cell, slot k maps to slot k
+        # exactly (front-compaction makes the rank prefix the identity).
+        scnt0 = csc[cslot, 1 : 1 + TY, 1 : 1 + TX]
+        spx0 = [ssc[bslot * 2 * K + k, 1 : 1 + TY, 1 : 1 + TX]
+                for k in range(K)]
+        spy0 = [ssc[bslot * 2 * K + K + k, 1 : 1 + TY, 1 : 1 + TX]
+                for k in range(K)]
+        stays = []
+        any_leaver = None
+        for k in range(K):
+            livek = k < scnt0
+            stayk = (
+                livek
+                & (movx[k][1 : 1 + TY, 1 : 1 + TX] == 0)
+                & (movy[k][1 : 1 + TY, 1 : 1 + TX] == 0)
+            )
+            stays.append(stayk)
+            leaverk = livek & ~stayk
+            any_leaver = leaverk if any_leaver is None else (any_leaver | leaverk)
+
+        def own_fast(carry):
+            # no leaver anywhere in the tile: every live slot keeps its
+            # marker in place (rank k == slot k)
+            count, acc_px, acc_py = carry
+            for k in range(K):
+                okf = ((k < scnt0) & ~dead).astype(f)
+                acc_px[k] = acc_px[k] + okf * spx0[k]
+                acc_py[k] = acc_py[k] + okf * spy0[k]
+            count = count + jnp.where(dead, 0, scnt0)
+            return count, acc_px, acc_py
+
+        def own_full(carry):
+            count, acc_px, acc_py = carry
+            run = count
+            newcount = count
+            for k in range(K):
+                selk = stays[k]
+                destk = run
+                okk = selk & ~dead  # destk <= k < K always holds here
+                okf = okk.astype(f)
+                for d in range(k + 1):  # triangular bound
+                    mf = okf * (destk == d).astype(f)
+                    acc_px[d] = acc_px[d] + mf * spx0[k]
+                    acc_py[d] = acc_py[d] + mf * spy0[k]
+                run = run + selk.astype(jnp.int32)
+                newcount = newcount + okk.astype(jnp.int32)
+            return newcount, acc_px, acc_py
+
+        count, acc_px, acc_py = jax.lax.cond(
+            jnp.any(any_leaver), own_full, own_fast,
+            (count, acc_px, acc_py),
+        )
+
+        # ---- the 8 neighbour offsets, lexicographic (matching
+        # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0):
+                    continue
+                ys, xs = 1 - dy, 1 - dx
+                scnt = csc[cslot, ys : ys + TY, xs : xs + TX]
+                sels = []
+                any_sel = None
+                for k in range(K):
+                    selk = (
+                        (k < scnt)
+                        & (movx[k][ys : ys + TY, xs : xs + TX] == dx)
+                        & (movy[k][ys : ys + TY, xs : xs + TX] == dy)
+                    )
+                    sels.append(selk)
+                    any_sel = selk if any_sel is None else (any_sel | selk)
+
+                def insert_view(carry, _dy=dy, _dx=dx, _sels=sels):
+                    count, acc_px, acc_py = carry
+                    ys, xs = 1 - _dy, 1 - _dx
+                    run = count
+                    newcount = count
+                    for k in range(K):
+                        spx = ssc[bslot * 2 * K + k, ys : ys + TY, xs : xs + TX]
+                        spy = ssc[bslot * 2 * K + K + k,
+                                  ys : ys + TY, xs : xs + TX]
+                        selk = _sels[k]
+                        destk = run
+                        okk = selk & (destk < K) & ~dead
+                        okf = okk.astype(f)
+                        for d in range(K):
+                            mf = okf * (destk == d).astype(f)
+                            acc_px[d] = acc_px[d] + mf * spx
+                            acc_py[d] = acc_py[d] + mf * spy
+                        run = run + selk.astype(jnp.int32)
+                        newcount = newcount + okk.astype(jnp.int32)
+                    return newcount, acc_px, acc_py
+
+                # view-level skip: no marker of these source cells lands
+                # in this tile with this offset -> the whole insertion
+                # pass is a no-op (run/count unchanged, accs unchanged)
+                count, acc_px, acc_py = jax.lax.cond(
+                    jnp.any(any_sel),
+                    insert_view,
+                    lambda carry: carry,
+                    (count, acc_px, acc_py),
+                )
+
+        for d in range(K):
+            opx_ref[d] = acc_px[d]
+            opy_ref[d] = acc_py[d]
+            ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(f)
+        ocnt_ref[:] = count
+        return 0
+
+    jax.lax.cond(live(n), work_tile, skip_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 9))
+def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
+                       count, interpret: bool = False, *, dead):
+    """Fused marker pass: march + re-bin in one launch.
+
+    px/py: [K, Y, X] slot views; dead: [Y, X] f32 (sink|solid);
+    count: [Y, X] i32 live counts.  Validity is NOT an input — slots are
+    front-compacted, so slot k of a cell is live iff k < count (the
+    kernel derives it from the count window, saving a third of the slot
+    HBM traffic).  Returns (px', py', valid_f', count') exactly as the
+    two-kernel path produces.
+    """
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    f = px.dtype
+
+    # tile sizes: offsets (i*TY, j*TX) must land on (8, 128)-aligned
+    # window starts for the DMA slices; otherwise fall back to one tile
+    TX = next((c for c in (512, 256, 128) if X % c == 0), X)
+    TY = next((c for c in (32, 16, 8) if Y % c == 0), Y)
+    nj = X // TX
+    nt = (Y // TY) * nj
+    # DMA window shape: rows to a multiple of 8, lanes to a multiple of
+    # 128, covering the largest halo (the grid planes' +-2)
+    RW = -(-(TY + 4) // 8) * 8
+    LW = -(-(TX + 4) // 128) * 128
+
+    # Padding layouts are chosen so every tile's DMA window starts at
+    # (row0, col0) — already (8, 128)-aligned — and Mosaic's DMA slice
+    # alignment rule (rows multiple of 8, lanes multiple of 128) is met
+    # by over-reading: the halo only needs [TY+2, TX+2].  The extra
+    # rows/cols are zero padding or real neighbour data the compute
+    # never consumes.
+    grid_pad = jnp.pad(
+        jnp.stack([
+            u, v,
+            u_property(fluid).astype(f),
+            v_property(fluid).astype(f),
+            solid.astype(f),
+        ]),
+        ((0, 0), (2, RW - TY - 2), (2, LW - TX - 2)),
+    )
+    slots_pad = jnp.pad(
+        jnp.concatenate([px, py], axis=0),
+        ((0, 0), (1, RW - TY - 1), (1, LW - TX - 1)),
+    )
+    cnt_pad = jnp.pad(count, ((1, RW - TY - 1), (1, LW - TX - 1)))
+
+    # (1, 128) VMEM plane rather than an SMEM scalar: the SMEM form
+    # breaks the pallas_call batching rule under vmap
+    dt_arr = jnp.full((1, 128), dt, f)
+
+    tile_spec = pl.BlockSpec((TY, TX), lambda n: (n // nj, n % nj),
+                             memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((K, TY, TX), lambda n: (0, n // nj, n % nj),
+                             memory_space=pltpu.VMEM)
+    # HBM, not ANY: on small grids the compiler would place ANY inputs in
+    # VMEM, where DMA window slices must be (8, 128)-aligned.
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+
+    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt)
+    opx, opy, ova, ocnt = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,   # dead
+            hbm_spec,    # counts (padded)
+            hbm_spec,    # grid planes (padded)
+            hbm_spec,    # slot planes (padded)
+        ],
+        out_specs=[slot_spec, slot_spec, slot_spec, tile_spec],
+        scratch_shapes=[
+            pltpu.VMEM((3, RW, LW), jnp.int32),
+            pltpu.VMEM((2 * 5, RW, LW), f),
+            pltpu.VMEM((2 * 2 * K, RW, LW), f),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(dt_arr, dead, cnt_pad, grid_pad, slots_pad)
+    return opx, opy, ova, ocnt

@@ -79,12 +79,14 @@ def _rebin_kernel(cfg: SimConfig, TY,
         acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
         acc_py = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
 
-        # same (dy, dx) traversal as refresh_marker_counts_slots — the
-        # insertion order determines slot assignment within a cell.  Source
-        # cell is (y-dy, x-dx): row view -dy, x-shift by -dx.
-        for dy in (-1, 0, 1):
-            pxv, pyv, vav = views[-dy]
-            for dx in (-1, 0, 1):
+        # same (dy, dx) traversal as refresh_marker_counts_slots (own
+        # cell FIRST, then neighbours) — the insertion order determines
+        # slot assignment within a cell.  Source cell is (y-dy, x-dx):
+        # row view -dy, x-shift by -dx.
+        from euler_tpu.ops.markers_slots import OFFSETS_OWN_FIRST
+
+        for dy, dx in OFFSETS_OWN_FIRST:
+                pxv, pyv, vav = views[-dy]
                 spx = _shift_x(pxv[:], -dx)
                 spy = _shift_x(pyv[:], -dx)
                 sva = _shift_x(vav[:], -dx)

@@ -28,6 +28,7 @@ from euler_tpu.ops.forces import apply_body_forces, calculate_timestep, zero_bou
 from euler_tpu.ops.markers import (
     advect_markers,
     get_marker_ops,
+    get_marker_pass,
     refresh_marker_counts,
     update_fluid_sources,
 )
@@ -37,12 +38,12 @@ from euler_tpu.ops.project import project
 def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     """One CFL substep (the body of main.c:851-893), dt already chosen."""
     solid = scn.solid
-    adv_markers, refresh_counts, fluid_sources = get_marker_ops(cfg)
+    _, _, fluid_sources = get_marker_ops(cfg)
 
-    # marker pass uses the velocity field and fluid mask from the end of
-    # the previous substep (including last substep's source emissions)
-    state = adv_markers(cfg, scn, state, dt)
-    state = refresh_counts(cfg, scn, state)
+    # marker pass (march + re-bin, possibly one fused Pallas launch)
+    # uses the velocity field and fluid mask from the end of the
+    # previous substep (including last substep's source emissions)
+    state = get_marker_pass(cfg)(cfg, scn, state, dt)
 
     if cfg.rainbow:
         # colours extrapolate before sources run (main.c:859-863)

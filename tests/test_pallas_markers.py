@@ -79,6 +79,50 @@ def test_pallas_rebin_matches_jnp():
     np.testing.assert_array_equal(np.asarray(opy)[m], np.asarray(rpy)[m])
 
 
+def test_fused_marker_pass_matches_two_kernel_path():
+    """The single-launch march+rebin kernel vs the jnp slots pipeline.
+
+    Counts/validity must match exactly; positions to f32 FMA slack (the
+    fused kernel recomputes halo markers redundantly with identical
+    arithmetic, so the only divergence source is compiler contraction —
+    none in interpret mode, but keep the march tolerance for safety).
+    """
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+    from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
+
+    cfg = SimConfig(
+        nx=64, ny=64, marker_layout="slots",
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    scn, st = dam_break(cfg)
+    for _ in range(3):
+        st = step_frame_jit(cfg, scn, st)
+
+    dt = jnp.float32(0.035)
+    ref = refresh_marker_counts_slots(
+        cfg, scn, advect_markers_slots(cfg, scn, st, dt)
+    )
+
+    px, py, valid = slot_views(cfg, st)
+    dead = (scn.sink | scn.solid).astype(px.dtype)
+    opx, opy, ova, count = march_rebin_pallas(
+        cfg, st.u, st.v, st.fluid, scn.solid, px, py, dt,
+        st.marker_count, interpret=True, dead=dead,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(count), np.asarray(ref.marker_count)
+    )
+    rpx, rpy, rva = slot_views(cfg, ref)
+    np.testing.assert_array_equal(np.asarray(ova) != 0, np.asarray(rva))
+    m = np.asarray(rva)
+    np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(opy)[m], np.asarray(rpy)[m],
+                               atol=1e-4)
+    assert int(count.sum()) > 1000  # the scene is actually live
+
+
 def test_pallas_pcg_matches_xla():
     """Single-launch PCG vs the XLA loop: same preconditioner, same
     stopping rule — solutions agree within solver tolerance."""
