@@ -60,13 +60,36 @@ OFFSETS_OWN_FIRST = [(0, 0)] + [
 
 
 def slot_views(cfg: SimConfig, state: FluidState):
-    """(px [K,Y,X], py [K,Y,X], valid [K,Y,X]) views of the flat arrays."""
+    """(px [K,Y,X], py [K,Y,X], valid [K,Y,X]) views of the marker store.
+
+    Slot markers have two equivalent storage layouts:
+      * flat [2, M] with m = (k*Y + y)*X + x (the single-chip default —
+        matches the global layout's pytree shape, so checkpoints and the
+        CLI are layout-agnostic);
+      * spatial planes [2, K, Y, X] (+ alive [K, Y, X]) — the grid dims
+        are real array axes, so the marker store block-shards over a
+        ("y", "x") device mesh exactly like the grid fields (the
+        scale-out path, euler_tpu.parallel.spatial).
+    All slot ops accept either and write back in kind (pack_slots)."""
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    if state.markers.ndim == 4:
+        return state.markers[0], state.markers[1], state.alive
     return (
         state.markers[0].reshape(K, Y, X),
         state.markers[1].reshape(K, Y, X),
         state.alive.reshape(K, Y, X),
     )
+
+
+def pack_slots(state: FluidState, px, py, valid=None):
+    """(markers, alive) leaves matching `state`'s storage layout."""
+    if state.markers.ndim == 4:
+        markers = jnp.stack([px, py], axis=0)
+        alive = state.alive if valid is None else valid
+    else:
+        markers = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=0)
+        alive = state.alive if valid is None else valid.reshape(-1)
+    return markers, alive
 
 
 def _shift2(a, dy: int, dx: int, fill=0):
@@ -129,9 +152,7 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
             cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
             state.marker_count,
         )
-        new_markers = jnp.stack(
-            [opx.reshape(-1), opy.reshape(-1)], axis=0
-        )
+        new_markers, _ = pack_slots(state, opx, opy)
         return state.replace(markers=new_markers)
 
     Y, X = cfg.ny, cfg.nx
@@ -216,9 +237,7 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
     new_x = jnp.where(valid, px2 + t * vx, px)
     new_y = jnp.where(valid, py2 + t * vy, py)
-    new_markers = jnp.stack(
-        [new_x.reshape(-1), new_y.reshape(-1)], axis=0
-    )
+    new_markers, _ = pack_slots(state, new_x, new_y)
     return state.replace(markers=new_markers)
 
 
@@ -242,9 +261,10 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         opx, opy, ova, count = rebin_markers_pallas(
             cfg, px, py, valid.astype(px.dtype), dead
         )
+        markers, alive = pack_slots(state, opx, opy, ova != 0)
         return state.replace(
-            markers=jnp.stack([opx.reshape(-1), opy.reshape(-1)], axis=0),
-            alive=(ova != 0).reshape(-1),
+            markers=markers,
+            alive=alive,
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
@@ -298,9 +318,10 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         jnp.arange(K, dtype=jnp.int32)[:, None, None] < count[None]
     )
 
+    markers, alive = pack_slots(state, out_px, out_py, out_valid)
     return state.replace(
-        markers=jnp.stack([out_px.reshape(-1), out_py.reshape(-1)], axis=0),
-        alive=out_valid.reshape(-1),
+        markers=markers,
+        alive=alive,
         prev_marker_count=state.marker_count,
         marker_count=count,
         alive_count=jnp.sum(count),
@@ -322,9 +343,10 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
             cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
             state.marker_count, dead=dead,
         )
+        markers, alive = pack_slots(state, opx, opy, ova != 0)
         return state.replace(
-            markers=jnp.stack([opx.reshape(-1), opy.reshape(-1)], axis=0),
-            alive=(ova != 0).reshape(-1),
+            markers=markers,
+            alive=alive,
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
@@ -387,14 +409,20 @@ def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState)
         (ys, xs, counts_at_src, scn.source_valid),
     )
 
-    # flat slot of the emitted marker: (k*Y + y)*X + x with k = count
+    # slot of the emitted marker: k = count (first free slot, since slots
+    # are front-compacted); suppressed emissions scatter out of range and
+    # are dropped
     k_slot = jnp.minimum(counts_at_src, K - 1)
-    flat_slot = (k_slot * Y + ys) * X + xs
-    flat_slot = jnp.where(cans, flat_slot, cfg.max_markers)  # dropped
-
-    markers = state.markers.at[0, flat_slot].set(pos_x, mode="drop")
-    markers = markers.at[1, flat_slot].set(pos_y, mode="drop")
-    alive = state.alive.at[flat_slot].set(True, mode="drop")
+    k_slot = jnp.where(cans, k_slot, K)  # dropped
+    if state.markers.ndim == 4:
+        markers = state.markers.at[0, k_slot, ys, xs].set(pos_x, mode="drop")
+        markers = markers.at[1, k_slot, ys, xs].set(pos_y, mode="drop")
+        alive = state.alive.at[k_slot, ys, xs].set(True, mode="drop")
+    else:
+        flat_slot = (k_slot * Y + ys) * X + xs
+        markers = state.markers.at[0, flat_slot].set(pos_x, mode="drop")
+        markers = markers.at[1, flat_slot].set(pos_y, mode="drop")
+        alive = state.alive.at[flat_slot].set(True, mode="drop")
     marker_count = state.marker_count.at[ys, xs].add(
         cans.astype(jnp.int32), mode="drop"
     )
