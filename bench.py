@@ -33,6 +33,8 @@ def main():
                     default=True,
                     help="use the fused Pallas marker kernels")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
+    ap.add_argument("--rainbow", action="store_true",
+                    help="benchmark the rainbow (colour-advecting) pipeline")
     ap.add_argument("--batch", type=int, default=1,
                     help="batched independent scenario instances (vmap)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -51,6 +53,7 @@ def main():
         nx=args.size,
         ny=args.size,
         marker_layout=args.layout,
+        rainbow=args.rainbow,
         use_pallas_markers=args.pallas and not args.cpu,
         solver=SolverConfig(
             max_iterations=args.pcg_iters,
@@ -117,6 +120,8 @@ def main():
         residual = float(div_inf(state))
 
     suffix = f" x{args.batch}" if args.batch > 1 else ""
+    if args.rainbow:
+        suffix += " rainbow"
     print(
         json.dumps(
             {

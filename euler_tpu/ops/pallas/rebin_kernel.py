@@ -143,8 +143,10 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
     f = px.dtype
 
     # tile height adapted to X so the double-buffered VMEM working set
-    # stays inside the limit (~12 K-deep blocks of [K, TY, X] f32)
-    TY = min(Y, 32 if X <= 2048 else 8)
+    # stays inside the limit: 12 K-deep blocks of [K, TY, X] f32 live at
+    # once (9 in + 3 out, x2 pipeline buffers), so hold TY*X <= 32768
+    # (~32 MB of windows) and let compute temps use the rest
+    TY = min(Y, max(8, 32768 // X))
     while Y % TY:
         TY //= 2
     grid = (Y // TY,)

@@ -154,3 +154,38 @@ def test_pallas_pcg_matches_xla():
     np.testing.assert_allclose(
         np.asarray(p_got), np.asarray(p_ref), atol=5e-3
     )
+
+
+def test_pallas_pcg_chunked_sweeps(monkeypatch):
+    """Multi-chunk row sweeps (the 2048² VMEM path) vs the single-chunk
+    kernel: same iteration count; solutions differ only by the chunked
+    reductions' summation order (~1e-5)."""
+    import numpy as np
+    from euler_tpu.ops import project as P
+    from euler_tpu.ops.pallas import pcg_kernel
+
+    N = 64
+    rng = np.random.default_rng(1)
+    fluid = np.zeros((N, N), bool)
+    fluid[3:-3, 2:-2] = True
+    solid = np.zeros((N, N), bool)
+    solid[-2] = True
+    fluid &= ~solid
+    b = (rng.standard_normal((N, N)).astype(np.float32)) * fluid
+    cfg = SimConfig(
+        nx=N, ny=N,
+        solver=SolverConfig(max_iterations=200, tol=1e-4, dtype="float32"),
+    )
+    a = P.pressure_matrix_diag(cfg, jnp.asarray(solid), jnp.asarray(fluid))
+
+    p1, it1, res1 = pcg_kernel.solve_pressure_pallas(
+        cfg, jnp.asarray(b), a, jnp.asarray(fluid), interpret=True
+    )
+    monkeypatch.setattr(pcg_kernel, "_chunk_rows", lambda Y, X: Y // 4)
+    pcg_kernel.solve_pressure_pallas.clear_cache()
+    p4, it4, res4 = pcg_kernel.solve_pressure_pallas(
+        cfg, jnp.asarray(b), a, jnp.asarray(fluid), interpret=True
+    )
+    pcg_kernel.solve_pressure_pallas.clear_cache()
+    assert int(it1) == int(it4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p4), atol=1e-4)
