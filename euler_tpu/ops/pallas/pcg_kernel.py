@@ -44,8 +44,8 @@ _VMEM_BUDGET = 112 * 1024 * 1024
 
 
 def _chunk_rows(Y: int, X: int) -> int:
-    """Row-chunk height: ~0.5M elements, dividing Y."""
-    c = min(Y, max(8, (1 << 19) // X))
+    """Row-chunk height: ~0.25M elements, dividing Y."""
+    c = min(Y, max(8, (1 << 18) // X))
     while Y % c:
         c //= 2
     return max(c, 1)

@@ -18,7 +18,10 @@ import json
 import os
 import re
 import shutil
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_workload(args):
