@@ -33,6 +33,9 @@ def main():
                     default=True,
                     help="use the fused Pallas marker kernels")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
+    ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="one-launch fused projection kernel (when it fits)")
     ap.add_argument("--rainbow", action="store_true",
                     help="benchmark the rainbow (colour-advecting) pipeline")
     ap.add_argument("--batch", type=int, default=1,
@@ -61,6 +64,7 @@ def main():
             dtype="float32",
             preconditioner=args.precon,
             use_pallas=args.pallas and not args.cpu,
+            fuse_projection=args.fuse_projection,
         ),
     )
     if args.batch > 1:

@@ -50,6 +50,14 @@ class SolverConfig:
     # grids up to ~2048²); the XLA loop emits thousands of small kernels
     # per frame and is launch-bound.
     use_pallas: bool = False
+    # With use_pallas: fuse the ENTIRE projection (divergence + matrix
+    # build + PCG + pressure clamp + face update + CFL maxsq reduce,
+    # main.c:709-820) into the one launch when its 9 VMEM planes fit
+    # (~<= 1448²); off = PCG-only kernel + XLA head/tail ops.  Measured
+    # ~5.5% SLOWER end-to-end at 1024² (PERF.md: the in-kernel chunked
+    # head/tail sweeps lose to XLA's fused elementwise ops), so off by
+    # default; kept as tested infrastructure.
+    fuse_projection: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

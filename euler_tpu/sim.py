@@ -24,7 +24,12 @@ from euler_tpu.config import SimConfig
 from euler_tpu.core.state import FluidState, Scenario
 from euler_tpu.ops.advect import advect_p, advect_u, advect_v
 from euler_tpu.ops.extrapolate import extrapolate
-from euler_tpu.ops.forces import apply_body_forces, calculate_timestep, zero_bounds
+from euler_tpu.ops.forces import (
+    apply_body_forces,
+    calculate_timestep,
+    max_speed_sq,
+    zero_bounds,
+)
 from euler_tpu.ops.markers import (
     advect_markers,
     get_marker_ops,
@@ -35,8 +40,24 @@ from euler_tpu.ops.markers import (
 from euler_tpu.ops.project import project
 
 
+def _use_fused_projection(cfg: SimConfig) -> bool:
+    """Projection (divergence -> PCG -> clamp -> face update -> maxsq)
+    as ONE Pallas launch: on when the solver's Pallas path is on and the
+    fused kernel's 9 VMEM planes fit (~<= 1448²)."""
+    if not (cfg.solver.use_pallas and cfg.solver.fuse_projection):
+        return False
+    from euler_tpu.ops.pallas.pcg_kernel import fused_projection_fits
+
+    return fused_projection_fits(cfg)
+
+
 def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
-    """One CFL substep (the body of main.c:851-893), dt already chosen."""
+    """One CFL substep (the body of main.c:851-893), dt already chosen.
+
+    Returns (state, msq) where msq = maxsq(u) + maxsq(v) of the projected
+    velocities (main.c:808-820) — the input to the NEXT substep's CFL dt.
+    With the fused projection kernel the reduction comes out of the same
+    launch; otherwise it is computed with an XLA reduce."""
     solid = scn.solid
     _, _, fluid_sources = get_marker_ops(cfg)
 
@@ -87,32 +108,61 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
         ut = zero_bounds(cfg, ut, fluid, solid, "u")
         vt = zero_bounds(cfg, vt, fluid, solid, "v")
 
-    u2, v2, _info = project(cfg, dt, ut, vt, fluid, solid)
-    return state.replace(u=u2, v=v2)
+    if _use_fused_projection(cfg):
+        from euler_tpu.ops.pallas.pcg_kernel import project_pallas
+
+        u2, v2, _iters, _resid, msq = project_pallas(
+            cfg, dt, ut, vt, fluid, solid
+        )
+    else:
+        u2, v2, _info = project(cfg, dt, ut, vt, fluid, solid)
+        msq = max_speed_sq(cfg, u2, v2)
+    return state.replace(u=u2, v=v2), msq
 
 
 def _tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _dt_from_msq(cfg: SimConfig, msq, frame_time):
+    """calculate_timestep (main.c:834-841) from a precomputed maxsq —
+    bitwise the same dt, without re-reducing the velocity planes."""
+    f = frame_time.dtype
+    max_distance = cfg.cfl * cfg.side_length
+    max_velocity = jnp.sqrt(msq.astype(f))
+    dt = jnp.where(
+        max_velocity > 0.0,
+        max_distance / jnp.where(max_velocity > 0.0, max_velocity, 1.0),
+        jnp.inf,
+    )
+    return jnp.minimum(dt, frame_time).astype(f)
+
+
 def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
-    """One 0.1 s frame: masked fixed-trip substep loop + frame counter."""
+    """One 0.1 s frame: masked fixed-trip substep loop + frame counter.
+
+    The CFL maxsq reduction runs once on the incoming state; every
+    subsequent substep reuses the maxsq its projection emitted
+    (main.c recomputes it per substep, but over exactly the velocities
+    the previous projection produced — same value)."""
     f = state.u.dtype
 
     def body(carry, _):
-        state, frame_time = carry
+        state, frame_time, msq = carry
         active = frame_time > 0.0
-        dt = calculate_timestep(cfg, state.u, state.v, frame_time)
+        dt = _dt_from_msq(cfg, msq, frame_time)
         # inactive lanes still trace the substep; give them a harmless dt
         dt = jnp.where(active, dt, jnp.asarray(1.0, f))
-        new_state = substep(cfg, scn, state, dt)
+        new_state, new_msq = substep(cfg, scn, state, dt)
         state = _tree_select(active, new_state, state)
+        msq = jnp.where(active, new_msq.astype(msq.dtype), msq)
         frame_time = jnp.where(active, frame_time - dt, frame_time)
-        return (state, frame_time), None
+        return (state, frame_time, msq), None
 
     frame_time0 = jnp.asarray(cfg.frame_time, f)
-    (state, _), _ = jax.lax.scan(
-        body, (state, frame_time0), None, length=cfg.max_substeps
+    msq0 = max_speed_sq(cfg, state.u, state.v)
+    (state, _, _), _ = jax.lax.scan(
+        body, (state, frame_time0, msq0), None, length=cfg.max_substeps
     )
     return state.replace(frame_count=state.frame_count + 1)
 
