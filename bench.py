@@ -40,6 +40,11 @@ def main():
                     help="benchmark the rainbow (colour-advecting) pipeline")
     ap.add_argument("--batch", type=int, default=1,
                     help="batched independent scenario instances (vmap)")
+    ap.add_argument("--frames-per-call", type=int, default=1,
+                    help="frames chained inside one jitted dispatch "
+                         "(amortises per-execute overhead on the "
+                         "tunneled runtime; an outer lax.scan is 10-50x "
+                         "slower there, but a host-side unroll is not)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -79,7 +84,32 @@ def main():
         step_fn = _jax.jit(_jax.vmap(_partial(step_frame, cfg)))
     else:
         scn, state = dam_break(cfg)
-        step_fn = lambda scn, state: step_frame_jit(cfg, scn, state)
+        if args.layout == "slots":
+            # spatial [2, K, Y, X] slot planes: the TPU-native store — the
+            # fused kernel's [2K, Y, X] view is a true bitcast of it
+            # (flat [2, M] is T(2,128)-tiled and costs a ~5 ms/frame
+            # relayout at 1024², see PERF.md)
+            from euler_tpu.parallel.spatial import to_spatial
+
+            state = to_spatial(cfg, state)
+        if args.frames_per_call > 1:
+            from functools import partial as _partial
+
+            import jax as _jax
+
+            from euler_tpu.sim import step_frame
+
+            def _chain(scn, state, _n=args.frames_per_call):
+                for _ in range(_n):
+                    state = step_frame(cfg, scn, state)
+                return state
+
+            step_fn = _jax.jit(_chain)
+            assert args.frames % args.frames_per_call == 0
+            args.frames //= args.frames_per_call
+            args.warmup_frames = max(1, args.warmup_frames // args.frames_per_call)
+        else:
+            step_fn = lambda scn, state: step_frame_jit(cfg, scn, state)
 
     def sync(state):
         # host reads of values data-dependent on the whole step: a true
@@ -101,7 +131,8 @@ def main():
     elapsed = time.perf_counter() - t0
 
     cells = cfg.nx * cfg.ny
-    cell_steps = cells * cfg.max_substeps * args.frames * args.batch
+    total_frames = args.frames * max(args.frames_per_call, 1)
+    cell_steps = cells * cfg.max_substeps * total_frames * args.batch
     value = cell_steps / elapsed
 
     # solve-quality probe: inf-norm of the fluid-masked velocity

@@ -337,16 +337,23 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     if cfg.use_pallas_markers and cfg.fuse_marker_pass:
         from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
 
-        px, py, _valid = slot_views(cfg, state)
-        dead = (scn.sink | scn.solid).astype(px.dtype)
-        opx, opy, ova, count = march_rebin_pallas(
-            cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
+        Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+        # [2K, Y, X] is a FREE reshape of both store layouts (flat [2, M]
+        # and spatial [2, K, Y, X]) — no slice/stack HBM traffic
+        slots = state.markers.reshape(2 * K, Y, X)
+        dead = (scn.sink | scn.solid).astype(slots.dtype)
+        oslots, count = march_rebin_pallas(
+            cfg, state.u, state.v, state.fluid, scn.solid, slots, dt,
             state.marker_count, dead=dead,
         )
-        markers, alive = pack_slots(state, opx, opy, ova != 0)
+        # front-compaction makes validity derivable: slot k live iff
+        # k < count (the kernel neither reads nor writes a valid plane)
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0) < count[None]
+        )
         return state.replace(
-            markers=markers,
-            alive=alive,
+            markers=oslots.reshape(state.markers.shape),
+            alive=valid if state.alive.ndim == 3 else valid.reshape(-1),
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),

@@ -21,8 +21,12 @@ Tiles whose count window is all zero skip both the big DMAs and all
 compute (the CFL bound ==> no marker can arrive from beyond the halo),
 so empty regions cost one small count-window DMA and nothing else.
 
-Validity is never streamed: slots are front-compacted, so slot k of a
-cell is live iff k < count — the count window already in VMEM.
+Validity is never streamed OR emitted: slots are front-compacted, so
+slot k of a cell is live iff k < count — the count window already in
+VMEM on input, and `k < count'` on output.  The kernel's I/O is the
+combined [2K, Y, X] slot-plane array, which is a free reshape of both
+marker-store layouts (flat [2, M] and spatial [2, K, Y, X]) — the whole
+pass does zero layout work outside the kernel.
 
 Bitwise-identical to the two-kernel path (asserted against the jnp
 slots pipeline in tests/test_pallas_markers.py, including interpret
@@ -85,7 +89,7 @@ def _time_to(p0, p1, vel):
 
 def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                   dt_ref, dead_ref, cnt_hbm, grid_hbm, slots_hbm,
-                  opx_ref, opy_ref, ova_ref, ocnt_ref,
+                  oslots_ref, ocnt_ref,
                   csc, gsc, ssc, sems):
     """csc: [3, RW, LW] count windows; gsc: [2*5, RW, LW] grid windows;
     ssc: [2*2K, RW, LW] slot windows; sems: 7 DMA semaphores
@@ -163,10 +167,8 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
 
     def skip_tile(_):
         zf = jnp.zeros((TY, TX), f)
-        for d in range(K):
-            opx_ref[d] = zf
-            opy_ref[d] = zf
-            ova_ref[d] = zf
+        for d in range(2 * K):
+            oslots_ref[d] = zf
         ocnt_ref[:] = jnp.zeros((TY, TX), jnp.int32)
         return 0
 
@@ -414,29 +416,31 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                 )
 
         for d in range(K):
-            opx_ref[d] = acc_px[d]
-            opy_ref[d] = acc_py[d]
-            ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(f)
+            oslots_ref[d] = acc_px[d]
+            oslots_ref[K + d] = acc_py[d]
         ocnt_ref[:] = count
         return 0
 
     jax.lax.cond(live(n), work_tile, skip_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 9))
-def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
                        count, interpret: bool = False, *, dead):
     """Fused marker pass: march + re-bin in one launch.
 
-    px/py: [K, Y, X] slot views; dead: [Y, X] f32 (sink|solid);
-    count: [Y, X] i32 live counts.  Validity is NOT an input — slots are
-    front-compacted, so slot k of a cell is live iff k < count (the
-    kernel derives it from the count window, saving a third of the slot
-    HBM traffic).  Returns (px', py', valid_f', count') exactly as the
-    two-kernel path produces.
+    slots: [2K, Y, X] — px planes 0..K-1, py planes K..2K-1.  This is a
+    FREE reshape of both marker-store layouts (flat [2, M] with
+    m = (k*Y + y)*X + x, and spatial [2, K, Y, X]), so the whole pass is
+    layout work-free: the round-1 interface took separate px/py views
+    and re-stacked the outputs, which cost ~6 ms/frame of pure HBM
+    copies at 1024² (slice + reshape + stack + concatenate, see PERF.md).
+    dead: [Y, X] f32 (sink|solid); count: [Y, X] i32 live counts.
+    Validity is NOT an input or output — slots are front-compacted, so
+    slot k of a cell is live iff k < count.  Returns (slots', count').
     """
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
-    f = px.dtype
+    f = slots.dtype
 
     # tile sizes: offsets (i*TY, j*TX) must land on (8, 128)-aligned
     # window starts for the DMA slices; otherwise fall back to one tile
@@ -465,7 +469,7 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
         ((0, 0), (2, RW - TY - 2), (2, LW - TX - 2)),
     )
     slots_pad = jnp.pad(
-        jnp.concatenate([px, py], axis=0),
+        slots,
         ((0, 0), (1, RW - TY - 1), (1, LW - TX - 1)),
     )
     cnt_pad = jnp.pad(count, ((1, RW - TY - 1), (1, LW - TX - 1)))
@@ -476,20 +480,18 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
 
     tile_spec = pl.BlockSpec((TY, TX), lambda n: (n // nj, n % nj),
                              memory_space=pltpu.VMEM)
-    slot_spec = pl.BlockSpec((K, TY, TX), lambda n: (0, n // nj, n % nj),
+    slot_spec = pl.BlockSpec((2 * K, TY, TX), lambda n: (0, n // nj, n % nj),
                              memory_space=pltpu.VMEM)
     # HBM, not ANY: on small grids the compiler would place ANY inputs in
     # VMEM, where DMA window slices must be (8, 128)-aligned.
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
 
     kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt)
-    opx, opy, ova, ocnt = pl.pallas_call(
+    oslots, ocnt = pl.pallas_call(
         kernel,
         grid=(nt,),
         out_shape=[
-            jax.ShapeDtypeStruct((K, Y, X), f),
-            jax.ShapeDtypeStruct((K, Y, X), f),
-            jax.ShapeDtypeStruct((K, Y, X), f),
+            jax.ShapeDtypeStruct((2 * K, Y, X), f),
             jax.ShapeDtypeStruct((Y, X), jnp.int32),
         ],
         in_specs=[
@@ -500,7 +502,7 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
             hbm_spec,    # grid planes (padded)
             hbm_spec,    # slot planes (padded)
         ],
-        out_specs=[slot_spec, slot_spec, slot_spec, tile_spec],
+        out_specs=[slot_spec, tile_spec],
         scratch_shapes=[
             pltpu.VMEM((3, RW, LW), jnp.int32),
             pltpu.VMEM((2 * 5, RW, LW), f),
@@ -513,4 +515,4 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, px, py, dt,
         ),
         interpret=interpret,
     )(dt_arr, dead, cnt_pad, grid_pad, slots_pad)
-    return opx, opy, ova, ocnt
+    return oslots, ocnt

@@ -103,18 +103,19 @@ def test_fused_marker_pass_matches_two_kernel_path():
         cfg, scn, advect_markers_slots(cfg, scn, st, dt)
     )
 
-    px, py, valid = slot_views(cfg, st)
-    dead = (scn.sink | scn.solid).astype(px.dtype)
-    opx, opy, ova, count = march_rebin_pallas(
-        cfg, st.u, st.v, st.fluid, scn.solid, px, py, dt,
+    K = cfg.slots_per_cell
+    slots = st.markers.reshape(2 * K, cfg.ny, cfg.nx)
+    dead = (scn.sink | scn.solid).astype(slots.dtype)
+    oslots, count = march_rebin_pallas(
+        cfg, st.u, st.v, st.fluid, scn.solid, slots, dt,
         st.marker_count, interpret=True, dead=dead,
     )
+    opx, opy = oslots[:K], oslots[K:]
 
     np.testing.assert_array_equal(
         np.asarray(count), np.asarray(ref.marker_count)
     )
     rpx, rpy, rva = slot_views(cfg, ref)
-    np.testing.assert_array_equal(np.asarray(ova) != 0, np.asarray(rva))
     m = np.asarray(rva)
     np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],
                                atol=1e-4)

@@ -42,6 +42,9 @@ def run_workload(args):
                             use_pallas=True),
     )
     scn, state = dam_break(cfg)
+    from euler_tpu.parallel.spatial import to_spatial
+
+    state = to_spatial(cfg, state)
 
     def sync(state):
         return float(state.u.sum()) + float(state.markers.sum())
