@@ -33,6 +33,11 @@ def main():
                     default=True,
                     help="use the fused Pallas marker kernels")
     ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
+    ap.add_argument("--tol-rel", type=float, default=1e-6,
+                    help="relative stopping tolerance ||r|| <= max(tol, "
+                         "tol_rel*||b||); the reference's absolute 1e-6 "
+                         "presumes f64 CG and is unreachable in f32 at "
+                         "scale (0 restores it)")
     ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="one-launch fused projection kernel (when it fits)")
@@ -66,6 +71,7 @@ def main():
         solver=SolverConfig(
             max_iterations=args.pcg_iters,
             tol=1e-6,
+            tol_rel=args.tol_rel,
             dtype="float32",
             preconditioner=args.precon,
             use_pallas=args.pallas and not args.cpu,

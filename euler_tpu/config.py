@@ -31,6 +31,14 @@ class SolverConfig:
 
     max_iterations: int = 100
     tol: float = 1e-6
+    # Relative stopping tolerance: exit when ||r||_inf <= max(tol,
+    # tol_rel * ||b||_inf).  The reference's absolute 1e-6 (main.c:736)
+    # presumes double-precision CG (main.c:716); with f32 iterates and
+    # ||b|| ~ 1e3-1e4 at 1024²+ an absolute 1e-6 is below representable
+    # precision, so every solve burns the full iteration budget without
+    # "converging".  0.0 keeps exact reference semantics (the parity
+    # configs); the TPU benchmark sets 1e-6.
+    tol_rel: float = 0.0
     preconditioner: Preconditioner = "jacobi"
     # Multigrid preconditioner knobs (preconditioner="mg"): V(pre,post)
     # damped-Jacobi cycles over 2x-coarsened mask hierarchies down to

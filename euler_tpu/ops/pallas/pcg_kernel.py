@@ -51,7 +51,8 @@ def _chunk_rows(Y: int, X: int) -> int:
     return max(c, 1)
 
 
-def _pcg_kernel(max_iters: int, tol: float, C: int, packed_ref, b_ref,
+def _pcg_kernel(max_iters: int, tol: float, tol_rel: float, C: int,
+                packed_ref, b_ref,
                 p_ref, iters_ref, resid_ref, r_ref, s_ref, as_ref):
     """packed = a_diag*fluid + 8*fluid (f32).  b_ref is aliased to r_ref:
     the RHS buffer becomes the residual in place.  All sweeps are chunked
@@ -104,6 +105,10 @@ def _pcg_kernel(max_iters: int, tol: float, C: int, packed_ref, b_ref,
         rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(r)))
     # all_zero early-out (main.c:742)
     nonzero = rmax0 != 0.0
+    # ||r|| <= max(tol, tol_rel * ||b||): tol_rel = 0 is the reference's
+    # absolute rule (unreachable in f32 once ||b|| >> 1; see config.py)
+    tol_eff = jnp.maximum(jnp.asarray(tol, f32),
+                          jnp.asarray(tol_rel, f32) * rmax0)
 
     def cond(carry):
         sigma, i, done = carry
@@ -132,7 +137,7 @@ def _pcg_kernel(max_iters: int, tol: float, C: int, packed_ref, b_ref,
             r_ref[r0:r1] = r
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
             sigma_new = sigma_new + jnp.sum((invd * r) * r)
-        conv = rmax <= tol
+        conv = rmax <= tol_eff
 
         # pass 3: s = z + beta s
         beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
@@ -165,7 +170,7 @@ def solve_pressure_pallas(cfg: SimConfig, b, a_diag, fluid,
 
     kernel = functools.partial(
         _pcg_kernel, cfg.solver.max_iterations, float(cfg.solver.tol),
-        _chunk_rows(Y, X),
+        float(cfg.solver.tol_rel), _chunk_rows(Y, X),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     p, iters, resid, _r = pl.pallas_call(
@@ -223,6 +228,7 @@ def _project_kernel(cfg: SimConfig, C: int,
 
     max_iters = cfg.solver.max_iterations
     tol = float(cfg.solver.tol)
+    tol_rel = float(cfg.solver.tol_rel)
     Y, X = fl_ref.shape
     nchunks = Y // C
     f32 = jnp.float32
@@ -283,6 +289,8 @@ def _project_kernel(cfg: SimConfig, C: int,
         sigma0 = sigma0 + jnp.sum(z * b)
         rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(b)))
     nonzero = rmax0 != 0.0
+    tol_eff = jnp.maximum(jnp.asarray(tol, f32),
+                          jnp.asarray(tol_rel, f32) * rmax0)
 
     def decode(r0, r1):
         packed = packed_ref[r0:r1]
@@ -325,7 +333,7 @@ def _project_kernel(cfg: SimConfig, C: int,
             b_ref[r0:r1] = r
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
             sigma_new = sigma_new + jnp.sum((invd * r) * r)
-        conv = rmax <= tol
+        conv = rmax <= tol_eff
 
         beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
         for c in range(nchunks):

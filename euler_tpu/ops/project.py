@@ -122,9 +122,15 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
 
         if pallas_solver_fits(cfg):
             return solve_pressure_pallas(cfg, b, a_diag, fluid)
+        from euler_tpu.ops.pallas.mg_kernel import (
+            mg_pallas_fits,
+            solve_pressure_mg_pallas,
+        )
+
+        if solid is not None and mg_pallas_fits(cfg):
+            return solve_pressure_mg_pallas(cfg, b, a_diag, fluid, solid)
 
     sdt = b.dtype
-    tol = jnp.asarray(cfg.solver.tol, sdt)
     max_iters = cfg.solver.max_iterations
 
     precon = _make_preconditioner(cfg, a_diag, fluid, solid, sdt)
@@ -134,8 +140,14 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
     s = z
     sigma = _masked_dot(z, r)
     p = jnp.zeros_like(b)
+    b_norm = _inf_norm(r)
+    # ||r|| <= max(tol, tol_rel * ||b||)  (tol_rel = 0 -> reference rule)
+    tol = jnp.maximum(
+        jnp.asarray(cfg.solver.tol, sdt),
+        jnp.asarray(cfg.solver.tol_rel, sdt) * b_norm,
+    )
     # all_zero early-out (main.c:742): an exactly-zero RHS skips the loop.
-    nonzero = _inf_norm(r) != 0
+    nonzero = b_norm != 0
 
     def cond(carry):
         p, r, s, sigma, i, done = carry

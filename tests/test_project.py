@@ -142,3 +142,30 @@ def test_zero_rhs_skips_solve():
     p, iters, resid = solve_pressure(cfg, b, a, fluid)
     assert int(iters) == 0
     assert float(jnp.abs(p).max()) == 0.0
+
+
+def test_relative_tolerance_stopping(rolled):
+    """tol_rel: exit when ||r|| <= tol_rel * ||b|| (f32-native stopping;
+    the reference's absolute 1e-6 presumes f64 CG, config.py)."""
+    cfg_abs = SimConfig(solver=SolverConfig(dtype="float32",
+                                            max_iterations=300))
+    cfg_rel = SimConfig(solver=SolverConfig(dtype="float32",
+                                            max_iterations=300,
+                                            tol_rel=1e-3))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg_abs)
+    dt = jnp.float32(0.02)
+    fluid = st.marker_count > 0
+    # the oracle state is post-projection (divergence-free); add a
+    # spatially-varying kick so there is something to solve
+    yy = jnp.arange(cfg_abs.ny, dtype=jnp.float32)[:, None]
+    v = st.v + 0.05 * jnp.sin(yy)
+    b = divergence_rhs(cfg_abs, st.u, v, fluid, dt)
+    a_diag = pressure_matrix_diag(cfg_abs, scn.solid, fluid)
+
+    _, it_abs, _ = solve_pressure(cfg_abs, b, a_diag, fluid, scn.solid)
+    p, it_rel, res = solve_pressure(cfg_rel, b, a_diag, fluid, scn.solid)
+
+    b_norm = float(jnp.max(jnp.abs(b)))
+    assert float(res) <= max(1e-6, 1e-3 * b_norm)
+    assert int(it_rel) < int(it_abs)  # looser rule exits earlier
