@@ -50,6 +50,8 @@ def main():
                          "(amortises per-execute overhead on the "
                          "tunneled runtime; an outer lax.scan is 10-50x "
                          "slower there, but a host-side unroll is not)")
+    ap.add_argument("--marker-tile", type=str, default="32x512",
+                    help="fused marker kernel tile RxC, e.g. 16x256")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -66,6 +68,7 @@ def main():
         nx=args.size,
         ny=args.size,
         marker_layout=args.layout,
+        marker_tile=tuple(int(v) for v in args.marker_tile.split("x")),
         rainbow=args.rainbow,
         use_pallas_markers=args.pallas and not args.cpu,
         solver=SolverConfig(

@@ -101,6 +101,12 @@ def _build(args):
         except OSError:
             print(f"Could not load {args.scenario}!", file=sys.stderr)
             sys.exit(1)
+    if cfg.marker_layout == "slots":
+        # spatial [2, K, Y, X] slot store: free view for the fused
+        # kernel (the flat layout costs a relayout per substep, PERF.md)
+        from euler_tpu.parallel.spatial import to_spatial
+
+        state = to_spatial(cfg, state)
     return cfg, scn, state
 
 

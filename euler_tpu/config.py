@@ -107,6 +107,10 @@ class SimConfig:
     # standalone kernels move ~3x the HBM traffic.  Only takes effect
     # with marker_layout="slots" and use_pallas_markers=True.
     fuse_marker_pass: bool = True
+    # Fused marker kernel 2D tile size (rows, lanes).  Smaller tiles give
+    # finer-grained empty-region skipping at more per-tile overhead;
+    # values are clamped/fallback-adjusted to divide the grid.
+    marker_tile: tuple = (32, 512)
     # Fused Pallas grid stage (extrapolate->zero->advect->gravity->zero).
     # Measured ~4% SLOWER than the XLA op sequence at 1024² (the 7-deep
     # row-view materialisations outweigh the launch savings) — kept as

@@ -34,6 +34,8 @@ def _cfg_to_json(cfg: SimConfig) -> str:
 def _cfg_from_json(s: str) -> SimConfig:
     d = json.loads(s)
     d["solver"] = SolverConfig(**d["solver"])
+    if "marker_tile" in d:
+        d["marker_tile"] = tuple(d["marker_tile"])  # JSON decodes a list
     return SimConfig(**d)
 
 

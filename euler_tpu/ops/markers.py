@@ -214,7 +214,8 @@ def get_marker_pass(cfg: SimConfig):
     return _pass
 
 
-def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
+def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState,
+                         active=None):
     """main.c:276-298.
 
     Emission is sequential in y-major cell order because each append
@@ -222,6 +223,10 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
     order-dependent; the scan is over the (static, small) source list.
     Source-cell colours are refreshed every substep regardless of
     emission (main.c:292-294).
+
+    `active` (traced bool) suppresses ALL emissions when False — used by
+    the masked substep loop so an inactive substep is a bitwise no-op on
+    the marker store without a whole-array select.
     """
     S = scn.num_sources
     max_count = cfg.max_markers
@@ -256,6 +261,8 @@ def update_fluid_sources(cfg: SimConfig, scn: Scenario, state: FluidState):
         rng, alive_count, exhausted, emit_rank = carry
         y, x, count, valid = inp
         can = valid & (~exhausted) & (count < cfg.markers_per_cell)
+        if active is not None:
+            can = can & active
 
         # The reference consumes randf() twice inside a single call
         # expression (main.c:288) whose evaluation order C leaves

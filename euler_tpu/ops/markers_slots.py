@@ -328,12 +328,19 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
     )
 
 
-def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
+                      defer_alive: bool = False):
     """March + re-bin, fused into one Pallas launch when enabled.
 
     Semantically identical to advect_markers_slots followed by
     refresh_marker_counts_slots (asserted bitwise in
-    tests/test_pallas_markers.py)."""
+    tests/test_pallas_markers.py).
+
+    defer_alive=True skips materialising the alive plane (it is derivable
+    as k < marker_count whenever slots are front-compacted) and returns
+    `state.alive` UNCHANGED/stale — only valid when the caller never
+    reads alive until it re-derives it (sim.step_frame does, once per
+    frame instead of once per substep)."""
     if cfg.use_pallas_markers and cfg.fuse_marker_pass:
         from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
 
@@ -346,14 +353,19 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
             cfg, state.u, state.v, state.fluid, scn.solid, slots, dt,
             state.marker_count, dead=dead,
         )
-        # front-compaction makes validity derivable: slot k live iff
-        # k < count (the kernel neither reads nor writes a valid plane)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0) < count[None]
-        )
+        if defer_alive:
+            alive = state.alive  # stale; caller re-derives from count
+        else:
+            # front-compaction makes validity derivable: slot k live iff
+            # k < count (the kernel neither reads nor writes a valid plane)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0)
+                < count[None]
+            )
+            alive = valid if state.alive.ndim == 3 else valid.reshape(-1)
         return state.replace(
             markers=oslots.reshape(state.markers.shape),
-            alive=valid if state.alive.ndim == 3 else valid.reshape(-1),
+            alive=alive,
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
@@ -362,12 +374,15 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     return refresh_marker_counts_slots(cfg, scn, state)
 
 
-def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState):
+def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario,
+                               state: FluidState, active=None):
     """Source emission (main.c:276-298) on the slot layout.
 
     Identical sequential RNG/cap semantics to the global layout; the
     emitted marker of a source cell lands in that cell's first free slot
-    (= index marker_count, since slots are front-compacted)."""
+    (= index marker_count, since slots are front-compacted).  `active`
+    False suppresses all emissions (bitwise no-op on the marker store;
+    see update_fluid_sources)."""
     S = scn.num_sources
     max_count = cfg.max_markers
     K = cfg.slots_per_cell
@@ -398,6 +413,8 @@ def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario, state: FluidState)
         rng, alive_count, exhausted = carry
         y, x, count, valid = inp
         can = valid & (~exhausted) & (count < cfg.markers_per_cell) & (count < K)
+        if active is not None:
+            can = can & active
         # gcc evaluates main.c:288's two randf() args right-to-left:
         # Y jitter draws first (verified vs the compiled binary,
         # tests/test_ref_binary.py).

@@ -443,9 +443,12 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     f = slots.dtype
 
     # tile sizes: offsets (i*TY, j*TX) must land on (8, 128)-aligned
-    # window starts for the DMA slices; otherwise fall back to one tile
-    TX = next((c for c in (512, 256, 128) if X % c == 0), X)
-    TY = next((c for c in (32, 16, 8) if Y % c == 0), Y)
+    # window starts for the DMA slices; otherwise fall back to one tile.
+    # Smaller tiles skip empty regions at finer granularity but pay more
+    # per-tile overhead; (32, 512) won the 1024² A/B (PERF.md).
+    ty0, tx0 = cfg.marker_tile
+    TX = next((c for c in (tx0, 512, 256, 128) if c <= X and X % c == 0), X)
+    TY = next((c for c in (ty0, 32, 16, 8) if c <= Y and Y % c == 0), Y)
     nj = X // TX
     nt = (Y // TY) * nj
     # DMA window shape: rows to a multiple of 8, lanes to a multiple of

@@ -51,20 +51,32 @@ def _use_fused_projection(cfg: SimConfig) -> bool:
     return fused_projection_fits(cfg)
 
 
-def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
+            active=None, defer_alive: bool = False):
     """One CFL substep (the body of main.c:851-893), dt already chosen.
 
     Returns (state, msq) where msq = maxsq(u) + maxsq(v) of the projected
     velocities (main.c:808-820) — the input to the NEXT substep's CFL dt.
     With the fused projection kernel the reduction comes out of the same
-    launch; otherwise it is computed with an XLA reduce."""
+    launch; otherwise it is computed with an XLA reduce.
+
+    `active` masks source emission (an inactive substep with dt = 0 is
+    then a bitwise no-op on the marker store — see step_frame).
+    `defer_alive` skips materialising the alive plane per substep
+    (slots + fused kernel only; the caller re-derives it)."""
     solid = scn.solid
     _, _, fluid_sources = get_marker_ops(cfg)
 
     # marker pass (march + re-bin, possibly one fused Pallas launch)
     # uses the velocity field and fluid mask from the end of the
     # previous substep (including last substep's source emissions)
-    state = get_marker_pass(cfg)(cfg, scn, state, dt)
+    if cfg.marker_layout == "slots":
+        from euler_tpu.ops.markers_slots import marker_pass_slots
+
+        state = marker_pass_slots(cfg, scn, state, dt,
+                                  defer_alive=defer_alive)
+    else:
+        state = get_marker_pass(cfg)(cfg, scn, state, dt)
 
     if cfg.rainbow:
         # colours extrapolate before sources run (main.c:859-863)
@@ -75,7 +87,7 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
             b=extrapolate(cfg, state.b, fluid, prev, "p"),
         )
 
-    state = fluid_sources(cfg, scn, state)
+    state = fluid_sources(cfg, scn, state, active=active)
 
     # velocity extrapolation and boundary zeroing see the post-emission
     # fluid mask (emission increments marker_count, main.c:289)
@@ -144,17 +156,44 @@ def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
     The CFL maxsq reduction runs once on the incoming state; every
     subsequent substep reuses the maxsq its projection emitted
     (main.c recomputes it per substep, but over exactly the velocities
-    the previous projection produced — same value)."""
+    the previous projection produced — same value).
+
+    Inactive-substep handling (slot layout): dt = 0 plus a masked
+    emission make the marker pass a BITWISE no-op on the marker store
+    (positions advance by 0*v, re-binning maps slot k to slot k, the
+    emission scan draws nothing), so only the grid fields need the
+    activity select — the [2, K, Y, X] marker-plane select was ~1
+    ms/frame at 1024².  The global layout keeps the full tree-select
+    (its swap-remove compaction is order-dependent)."""
     f = state.u.dtype
+    fast = cfg.marker_layout == "slots"
+    defer_alive = (
+        fast and cfg.use_pallas_markers and cfg.fuse_marker_pass
+    )
 
     def body(carry, _):
         state, frame_time, msq = carry
         active = frame_time > 0.0
         dt = _dt_from_msq(cfg, msq, frame_time)
-        # inactive lanes still trace the substep; give them a harmless dt
-        dt = jnp.where(active, dt, jnp.asarray(1.0, f))
-        new_state, new_msq = substep(cfg, scn, state, dt)
-        state = _tree_select(active, new_state, state)
+        # inactive lanes still trace the substep; dt = 0 makes the
+        # marker pass an identity (the projection's divide-by-dt infs
+        # land only in select-discarded grid fields)
+        dt = jnp.where(active, dt, jnp.asarray(0.0 if fast else 1.0, f))
+        new_state, new_msq = substep(cfg, scn, state, dt, active=active,
+                                     defer_alive=defer_alive)
+        if fast:
+            sel = lambda a, b: jnp.where(active, a, b)
+            state = new_state.replace(
+                u=sel(new_state.u, state.u),
+                v=sel(new_state.v, state.v),
+                r=sel(new_state.r, state.r),
+                g=sel(new_state.g, state.g),
+                b=sel(new_state.b, state.b),
+                prev_marker_count=sel(new_state.prev_marker_count,
+                                      state.prev_marker_count),
+            )
+        else:
+            state = _tree_select(active, new_state, state)
         msq = jnp.where(active, new_msq.astype(msq.dtype), msq)
         frame_time = jnp.where(active, frame_time - dt, frame_time)
         return (state, frame_time, msq), None
@@ -164,6 +203,17 @@ def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
     (state, _, _), _ = jax.lax.scan(
         body, (state, frame_time0, msq0), None, length=cfg.max_substeps
     )
+    if defer_alive:
+        # re-derive the alive plane once per frame (stale through the
+        # scan; slots are front-compacted so alive == k < count)
+        K, Y, X = cfg.slots_per_cell, cfg.ny, cfg.nx
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0)
+            < state.marker_count[None]
+        )
+        state = state.replace(
+            alive=valid if state.alive.ndim == 3 else valid.reshape(-1)
+        )
     return state.replace(frame_count=state.frame_count + 1)
 
 
