@@ -129,6 +129,14 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
 
         if solid is not None and mg_pallas_fits(cfg):
             return solve_pressure_mg_pallas(cfg, b, a_diag, fluid, solid)
+        from euler_tpu.ops.pallas.pcg_stream_kernel import (
+            solve_pressure_stream,
+            stream_solver_fits,
+        )
+
+        if stream_solver_fits(cfg):
+            # beyond-VMEM grids: HBM-streamed single-launch solve
+            return solve_pressure_stream(cfg, b, a_diag, fluid)
 
     sdt = b.dtype
     max_iters = cfg.solver.max_iterations
