@@ -438,7 +438,36 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     dead: [Y, X] f32 (sink|solid); count: [Y, X] i32 live counts.
     Validity is NOT an input or output — slots are front-compacted, so
     slot k of a cell is live iff k < count.  Returns (slots', count').
+
+    Batching: the pallas_call takes HBM-space refs (the manual halo
+    DMAs), which Pallas cannot auto-batch — a custom_vmap rule maps the
+    launch over the batch instead (each launch saturates the chip, so
+    sequential launches lose nothing; measured batching is flat anyway,
+    PERF.md).
     """
+
+    @jax.custom_batching.custom_vmap
+    def call(u, v, fluid, solid, slots, dt, count, dead):
+        return _march_rebin_single(cfg, u, v, fluid, solid, slots, dt,
+                                   count, interpret, dead)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def at(i):
+            return [
+                jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
+                if b else a
+                for a, b in zip(args, in_batched)
+            ]
+
+        out = jax.lax.map(lambda i: call(*at(i)), jnp.arange(axis_size))
+        return out, (True, True)
+
+    return call(u, v, fluid, solid, slots, dt, count, dead)
+
+
+def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
+                        count, interpret, dead):
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = slots.dtype
 
