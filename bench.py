@@ -25,8 +25,14 @@ REFERENCE_CELL_STEPS_PER_SEC = 3.2e5  # BASELINE.md derived ceiling
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--warmup-frames", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=20)
+    # default warm-up matches the round-1 benchmark window (early-phase
+    # dam break) so BENCH_r{N}.json stays comparable across rounds; the
+    # JSON's active_substeps_per_frame field records the real substep
+    # occupancy behind the nominal 8-substep cell-steps metric.  Use
+    # --warmup-frames 48 for fully-developed flow (vmax > 60 m/s, all 8
+    # substeps active; see PERF.md).
+    ap.add_argument("--warmup-frames", type=int, default=4)
     ap.add_argument("--pcg-iters", type=int, default=100)
     ap.add_argument("--layout", default="slots", choices=["slots", "global"])
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
@@ -45,7 +51,7 @@ def main():
                     help="benchmark the rainbow (colour-advecting) pipeline")
     ap.add_argument("--batch", type=int, default=1,
                     help="batched independent scenario instances (vmap)")
-    ap.add_argument("--frames-per-call", type=int, default=1,
+    ap.add_argument("--frames-per-call", type=int, default=4,
                     help="frames chained inside one jitted dispatch "
                          "(amortises per-execute overhead on the "
                          "tunneled runtime; an outer lax.scan is 10-50x "
@@ -82,15 +88,23 @@ def main():
         ),
     )
     if args.batch > 1:
-        import jax as _jax
-        from functools import partial as _partial
-
-        from euler_tpu.sim import step_frame
+        # B independent instances stepped by ONE compiled per-frame
+        # program, round-robin host dispatch (pipelined).  vmap over the
+        # fused marker kernel trips XLA's scoped-vmem accounting for
+        # custom calls at 1024² (a 16 MB stack limit the tunnel offers
+        # no flag for); host-level data parallelism measures the same
+        # aggregate-throughput question without it.  jax.vmap batching
+        # of the full step remains supported (parallel/batch.py,
+        # test_parallel.py) and is what a multi-chip data-parallel mesh
+        # uses — this is purely the single-chip benchmark harness.
+        args.frames_per_call = 1
+        from euler_tpu.parallel.spatial import to_spatial
 
         pairs = [dam_break(cfg, seed=i) for i in range(args.batch)]
-        scn = _jax.tree.map(lambda *xs: jax.numpy.stack(xs), *[p[0] for p in pairs])
-        state = _jax.tree.map(lambda *xs: jax.numpy.stack(xs), *[p[1] for p in pairs])
-        step_fn = _jax.jit(_jax.vmap(_partial(step_frame, cfg)))
+        scns = [p[0] for p in pairs]
+        states = [to_spatial(cfg, p[1]) if args.layout == "slots" else p[1]
+                  for p in pairs]
+        step_one = lambda scn, state: step_frame_jit(cfg, scn, state)
     else:
         scn, state = dam_break(cfg)
         if args.layout == "slots":
@@ -129,15 +143,28 @@ def main():
     # pipeline, with a single sync at the end.  (An outer lax.scan over
     # frames measures an order of magnitude slower on the tunneled
     # runtime than the identical per-frame program.)
-    for _ in range(max(args.warmup_frames, 1)):
-        state = step_fn(scn, state)
-    sync(state)
+    if args.batch > 1:
+        for _ in range(max(args.warmup_frames, 1)):
+            states = [step_one(s_, st) for s_, st in zip(scns, states)]
+        for st in states:
+            sync(st)
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            states = [step_one(s_, st) for s_, st in zip(scns, states)]
+        for st in states:
+            sync(st)
+        elapsed = time.perf_counter() - t0
+        state = states[0]
+    else:
+        for _ in range(max(args.warmup_frames, 1)):
+            state = step_fn(scn, state)
+        sync(state)
 
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
-        state = step_fn(scn, state)
-    sync(state)
-    elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            state = step_fn(scn, state)
+        sync(state)
+        elapsed = time.perf_counter() - t0
 
     cells = cfg.nx * cfg.ny
     total_frames = args.frames * max(args.frames_per_call, 1)
@@ -159,9 +186,19 @@ def main():
         return jnp.max(jnp.abs(b))
 
     if args.batch > 1:
-        residual = float(jax.vmap(div_inf)(state).max())
+        residual = max(float(div_inf(st)) for st in states)
+        active_substeps = None
     else:
         residual = float(div_inf(state))
+        # transparency: how many of the nominal max_substeps the NEXT
+        # frame actually runs (the reference's data-dependent substep
+        # loop, main.c:851; inactive substeps are near-free no-ops)
+        from euler_tpu.sim import step_frame_stats
+
+        _, n_active = jax.jit(step_frame_stats, static_argnums=0)(
+            cfg, scn, state
+        )
+        active_substeps = int(n_active)
 
     suffix = f" x{args.batch}" if args.batch > 1 else ""
     if args.rainbow:
@@ -176,6 +213,8 @@ def main():
                 "precon": args.precon,
                 "pcg_iters_budget": args.pcg_iters,
                 "post_projection_div_inf": residual,
+                "active_substeps_per_frame": active_substeps,
+                "max_substeps": cfg.max_substeps,
             }
         )
     )

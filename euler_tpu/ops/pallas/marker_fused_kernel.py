@@ -454,14 +454,14 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     @call.def_vmap
     def _rule(axis_size, in_batched, *args):
         def at(i):
-            return [
-                jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
-                if b else a
-                for a, b in zip(args, in_batched)
-            ]
+            return [a[i] if b else a for a, b in zip(args, in_batched)]
 
-        out = jax.lax.map(lambda i: call(*at(i)), jnp.arange(axis_size))
-        return out, (True, True)
+        # Python-unrolled over the batch: a lax.map here wraps the
+        # pallas_call in a loop fusion whose scoped-VMEM accounting
+        # overflows XLA's 16 MB stack limit at 1024²
+        outs = [call(*at(i)) for i in range(axis_size)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return stacked, (True, True)
 
     return call(u, v, fluid, solid, slots, dt, count, dead)
 

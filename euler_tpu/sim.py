@@ -151,6 +151,19 @@ def _dt_from_msq(cfg: SimConfig, msq, frame_time):
 
 
 def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
+    return _step_frame_impl(cfg, scn, state)[0]
+
+
+def step_frame_stats(cfg: SimConfig, scn: Scenario, state: FluidState):
+    """(state', n_active): like step_frame, plus the number of ACTIVE
+    CFL substeps the frame actually ran (the reference's data-dependent
+    loop count, main.c:851).  The benchmark reports this so the nominal
+    8-substep cell-steps metric is transparent about the real substep
+    occupancy."""
+    return _step_frame_impl(cfg, scn, state)
+
+
+def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState):
     """One 0.1 s frame: masked fixed-trip substep loop + frame counter.
 
     The CFL maxsq reduction runs once on the incoming state; every
@@ -196,13 +209,14 @@ def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
             state = _tree_select(active, new_state, state)
         msq = jnp.where(active, new_msq.astype(msq.dtype), msq)
         frame_time = jnp.where(active, frame_time - dt, frame_time)
-        return (state, frame_time, msq), None
+        return (state, frame_time, msq), active
 
     frame_time0 = jnp.asarray(cfg.frame_time, f)
     msq0 = max_speed_sq(cfg, state.u, state.v)
-    (state, _, _), _ = jax.lax.scan(
+    (state, _, _), actives = jax.lax.scan(
         body, (state, frame_time0, msq0), None, length=cfg.max_substeps
     )
+    n_active = jnp.sum(actives.astype(jnp.int32))
     if defer_alive:
         # re-derive the alive plane once per frame (stale through the
         # scan; slots are front-compacted so alive == k < count)
@@ -214,7 +228,7 @@ def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
         state = state.replace(
             alive=valid if state.alive.ndim == 3 else valid.reshape(-1)
         )
-    return state.replace(frame_count=state.frame_count + 1)
+    return state.replace(frame_count=state.frame_count + 1), n_active
 
 
 @partial(jax.jit, static_argnums=0)
