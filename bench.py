@@ -56,7 +56,7 @@ def main():
                          "(amortises per-execute overhead on the "
                          "tunneled runtime; an outer lax.scan is 10-50x "
                          "slower there, but a host-side unroll is not)")
-    ap.add_argument("--marker-tile", type=str, default="32x512",
+    ap.add_argument("--marker-tile", type=str, default="128x512",
                     help="fused marker kernel tile RxC, e.g. 16x256")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()

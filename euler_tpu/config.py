@@ -107,10 +107,13 @@ class SimConfig:
     # standalone kernels move ~3x the HBM traffic.  Only takes effect
     # with marker_layout="slots" and use_pallas_markers=True.
     fuse_marker_pass: bool = True
-    # Fused marker kernel 2D tile size (rows, lanes).  Smaller tiles give
-    # finer-grained empty-region skipping at more per-tile overhead;
-    # values are clamped/fallback-adjusted to divide the grid.
-    marker_tile: tuple = (32, 512)
+    # Fused marker kernel 2D tile size (rows, lanes).  Taller tiles
+    # amortise the 1-cell halo's (8, 128) vector-register padding (a
+    # [34, 514] window pads to (40, 640) registers — 1.47x the useful
+    # lanes; [130, 514] pads 1.10x) at coarser empty-region skipping.
+    # A/B at 1024² (2026-08-17): 32x512 2.445e8, 64x512 2.51e8,
+    # 128x512 2.561e8.  Values fall back to divisors of the grid.
+    marker_tile: tuple = (128, 512)
     # Fused Pallas grid stage (extrapolate->zero->advect->gravity->zero).
     # Measured ~4% SLOWER than the XLA op sequence at 1024² (the 7-deep
     # row-view materialisations outweigh the launch savings) — kept as
