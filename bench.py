@@ -214,6 +214,13 @@ def main():
                 "pcg_iters_budget": args.pcg_iters,
                 "post_projection_div_inf": residual,
                 "active_substeps_per_frame": active_substeps,
+                # the headline metric counts the nominal substep budget
+                # (cells x max_substeps x frames); this folds in the real
+                # substep occupancy so the active-work rate is explicit
+                "active_cell_steps_per_sec": (
+                    value * active_substeps / cfg.max_substeps
+                    if active_substeps is not None else None
+                ),
                 "max_substeps": cfg.max_substeps,
             }
         )

@@ -44,9 +44,23 @@ class SolverConfig:
     # damped-Jacobi cycles over 2x-coarsened mask hierarchies down to
     # min_size, with a fixed smoothing solve at the coarsest level.
     mg_min_size: int = 32
-    mg_pre_smooth: int = 2
-    mg_post_smooth: int = 2
-    mg_coarse_iters: int = 24
+    mg_pre_smooth: int = 1
+    mg_post_smooth: int = 1
+    mg_coarse_iters: int = 8
+    # Coarse-operator construction:
+    #   "rediscretize" — coarsen the masks, rebuild the 5-point operator
+    #                    (loses free-surface Dirichlet geometry on coarse
+    #                    levels; V-cycle rate ~0.65 at 1024², PERF.md);
+    #   "galerkin"     — exact Galerkin P^T A P coarse operators with
+    #                    piecewise-constant prolongation (stays 5-point
+    #                    in edge-weight form; boundary-exact; the
+    #                    measured fix for the rate — ops/multigrid.py).
+    mg_scheme: str = "galerkin"
+    # Cycle shape for mg_scheme="galerkin": "w" (level-independent
+    # iteration counts with constant prolongation — measured 15-17 PCG
+    # iters from 256² to 1024²) or "v" (cheaper per cycle, counts grow
+    # slowly with depth: 19/23/38 on the same systems).
+    mg_cycle: str = "w"
     # float32 is the TPU-native choice; float64 (requires jax_enable_x64)
     # reproduces the reference's double-precision CG (main.c:577-578,716).
     dtype: str = "float32"

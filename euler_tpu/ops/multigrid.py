@@ -182,8 +182,190 @@ def v_cycle(levels, b, lvl: int = 0, pre: int = 2, post: int = 2,
     return _smooth(level, x, b, post, omega, reverse=True)
 
 
-def make_mg_preconditioner(cfg: SimConfig, solid, fluid, dtype):
+
+
+# ---------------------------------------------------------------------------
+# Galerkin hierarchy: exact coarse operators A_c = P^T A P with
+# piecewise-constant prolongation.
+#
+# The rediscretized hierarchy above coarsens the MASKS and rebuilds the
+# 5-point operator, which loses the free-surface Dirichlet geometry on
+# coarse levels (an any-fluid 2x2 block absorbs its air cells) — measured
+# V-cycle rate ~0.65 at 1024² (PERF.md "Solve convergence").  The Galerkin
+# operator needs no mask heuristics: with P = "each fine cell takes its
+# 2x2-parent's value" (masked to fluid) and R = P^T (2x2 block sum), the
+# coarse operator P^T A P encodes exactly how much Dirichlet boundary each
+# coarse cell's support touches — and, unlike bilinear prolongation (whose
+# cell-centred RAP has reach 2, a 25-point stencil), it stays 5-POINT at
+# every level, with real-valued per-edge weights:
+#
+#   c_c[I,J] = sum of the block's diagonal entries
+#              + 2 * (intra-block fluid-fluid couplings)
+#   e_c[I,J] = sum of couplings crossing to block (I, J+1)
+#   n_c[I,J] = sum of couplings crossing to block (I+1, J)
+#
+# (one block-reduce pass per level; no comb trick needed).  Verified
+# against dense P^T A P in tests/test_multigrid.py.
+#
+# Cycle type: the constant prolongation's interpolation order is low, so
+# plain V-cycle iteration counts grow slowly with depth (measured PCG
+# iters to rel 1e-4 on dam-break-like free-surface geometry: 19 at 256²,
+# 23 at 512², 38 at 1024²); the W-CYCLE restores level-independence
+# (15 → 15 → 17 on the same systems) at ~1.5x the per-cycle cost and is
+# the default for preconditioner="mg" + mg_scheme="galerkin".
+# ---------------------------------------------------------------------------
+
+
+class EdgeLevel(NamedTuple):
+    """One level of the Galerkin hierarchy: a symmetric 5-point operator
+    in edge-weight form.  Couplings: e[i,j] couples (i,j)<->(i,j+1),
+    n[i,j] couples (i,j)<->(i+1,j); the west/south couplings are the
+    shifted views of e/n.  Level 0 is the PCG matrix itself
+    (main.c:554-575: c = a_diag on fluid, e/n = -1 on fluid-fluid faces).
+
+    `active` (block contains any fluid cell) is implicit in the weights:
+    c, e, n are zero at (and toward) inactive cells, and inv_c = 0 there,
+    so iterates stay exactly zero outside the active set without masking.
+    """
+
+    c: jnp.ndarray      # diagonal
+    e: jnp.ndarray      # east coupling
+    n: jnp.ndarray      # north coupling
+    inv_c: jnp.ndarray  # 1/c where c > 0 else 0
+    active: jnp.ndarray  # bool (kept for tests/introspection)
+
+
+def _edge_level(c, e, n, active):
+    pos = c > 1e-12
+    inv_c = jnp.where(active & pos, 1.0, 0.0) / jnp.where(pos, c, 1.0)
+    return EdgeLevel(jnp.where(active, c, 0), e, n, inv_c, active)
+
+
+def fine_edge_level(a_diag, fluid, dtype) -> EdgeLevel:
+    """The reference operator (apply_a, main.c:679-691) in edge form."""
+    fl = fluid
+    c = jnp.where(fl, a_diag, 0).astype(dtype)
+    e = jnp.where(fl & shift_right(fl), -1.0, 0.0).astype(dtype)
+    n = jnp.where(fl & shift_up(fl), -1.0, 0.0).astype(dtype)
+    return _edge_level(c, e, n, fl)
+
+
+def apply_edge(level: EdgeLevel, x):
+    """A x for the symmetric edge-weight 5-point operator."""
+    return (
+        level.c * x
+        + level.e * shift_right(x) + shift_left(level.e * x)
+        + level.n * shift_up(x) + shift_down(level.n * x)
+    )
+
+
+def coarsen_galerkin(level: EdgeLevel) -> EdgeLevel:
+    """A_{l+1} = P^T A_l P for constant prolongation (2x2 blocks)."""
+    Y, X = level.c.shape
+    blk = lambda a: a.reshape(Y // 2, 2, X // 2, 2)  # noqa: E731
+    cb, eb, nb = blk(level.c), blk(level.e), blk(level.n)
+    c_c = cb.sum(axis=(1, 3)) + 2.0 * (
+        eb[:, :, :, 0].sum(axis=1)      # intra-block x edges
+        + nb[:, 0, :, :].sum(axis=2)    # intra-block y edges
+    )
+    e_c = eb[:, :, :, 1].sum(axis=1)    # edges crossing east
+    n_c = nb[:, 1, :, :].sum(axis=2)    # edges crossing north
+    act = blk(level.active).any(axis=(1, 3))
+    return _edge_level(c_c, e_c, n_c, act)
+
+
+def build_galerkin_hierarchy(a_diag, fluid, dtype, min_size: int = 32,
+                             max_levels: int = 16):
+    """EdgeLevel list, fine to coarse (level 0 = the PCG matrix).
+    Odd level sizes are padded with inactive cells before coarsening."""
+    levels = [fine_edge_level(a_diag, fluid, dtype)]
+    for _ in range(max_levels):
+        lv = levels[-1]
+        Y, X = lv.c.shape
+        if min(Y, X) <= min_size:
+            break
+        if Y % 2 or X % 2:
+            pad = ((0, Y % 2), (0, X % 2))
+            lv = EdgeLevel(*(jnp.pad(f, pad) for f in lv))
+            levels[-1] = lv
+        levels.append(coarsen_galerkin(lv))
+    return levels
+
+
+def smooth_edge(level: EdgeLevel, x, b, iters: int, reverse: bool = False):
+    """Red-black Gauss-Seidel (exact for 5-point: colours decouple).
+    Post-smoothing reverses the colour order so the cycle operator is
+    symmetric (required for PCG)."""
+    import jax
+
+    red = _checkerboard(x.shape)
+    first, second = (~red, red) if reverse else (red, ~red)
+
+    def half(x, mask):
+        r = b - apply_edge(level, x)
+        return x + jnp.where(mask, r * level.inv_c, 0)
+
+    def body(_, x):
+        return half(half(x, first), second)
+
+    return jax.lax.fori_loop(0, iters, body, x, unroll=2)
+
+
+def cycle_galerkin(levels, b, lvl: int = 0, pre: int = 1, post: int = 1,
+                   coarse_iters: int = 8, w: int = 2):
+    """One multigrid cycle on the Galerkin hierarchy (w=1: V, w=2: W).
+
+    The recursion count applies at every level except directly above the
+    coarsest (a second visit there re-solves the same system).  Padded
+    levels: b is zero-padded on entry and cropped on exit; padded cells
+    are inactive (zero weights), so they stay exactly zero."""
+    level = levels[lvl]
+    Yb, Xb = b.shape
+    Yl, Xl = level.c.shape
+    if (Yb, Xb) != (Yl, Xl):
+        b = jnp.pad(b, ((0, Yl - Yb), (0, Xl - Xb)))
+    if lvl == len(levels) - 1:
+        x = smooth_edge(level, jnp.zeros_like(b), b, coarse_iters)
+        x = smooth_edge(level, x, b, coarse_iters, reverse=True)
+        return x[:Yb, :Xb]
+    x = smooth_edge(level, jnp.zeros_like(b), b, pre)
+    visits = w if lvl + 1 < len(levels) - 1 else 1
+    Yc, Xc = levels[lvl + 1].c.shape
+    for _ in range(visits):
+        r = b - apply_edge(level, x)
+        rc = r.reshape(Yl // 2, 2, Xl // 2, 2).sum(axis=(1, 3))
+        ec = cycle_galerkin(levels, rc, lvl + 1, pre, post, coarse_iters, w)
+        # constant prolongation: each fine cell adds its parent's value
+        up = jnp.broadcast_to(
+            ec[:, None, :, None], (Yl // 2, 2, Xl // 2, 2)
+        ).reshape(Yl, Xl)
+        x = x + up
+    x = smooth_edge(level, x, b, post, reverse=True)
+    # inv_c = 0 keeps inactive cells zero through smoothing, but the
+    # prolongation adds parent values everywhere; mask once on exit
+    x = jnp.where(level.active, x, 0)
+    return x[:Yb, :Xb]
+
+
+def make_mg_preconditioner(cfg: SimConfig, solid, fluid, dtype, a_diag=None):
     """Returns z = M^{-1} r as a pure function for the PCG loop."""
+    if cfg.solver.mg_scheme == "galerkin":
+        if a_diag is None:
+            s = solid.astype(jnp.int32)
+            diag = 4 - (shift_left(s) + shift_right(s)
+                        + shift_down(s) + shift_up(s))
+            a_diag = jnp.where(fluid, diag, 0)
+        levels = build_galerkin_hierarchy(
+            a_diag, fluid, dtype, min_size=cfg.solver.mg_min_size
+        )
+        return partial(
+            cycle_galerkin,
+            levels,
+            pre=cfg.solver.mg_pre_smooth,
+            post=cfg.solver.mg_post_smooth,
+            coarse_iters=cfg.solver.mg_coarse_iters,
+            w=2 if cfg.solver.mg_cycle == "w" else 1,
+        )
     levels = build_hierarchy(solid, fluid, dtype, min_size=cfg.solver.mg_min_size)
     return partial(
         v_cycle,

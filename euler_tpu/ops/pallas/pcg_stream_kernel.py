@@ -45,10 +45,16 @@ _NBUF = 3
 
 
 def _block_rows(Y: int, X: int) -> int:
-    """~1M elements per block window, dividing Y, multiple of 8."""
-    c = min(Y, max(8, (1 << 20) // X))
-    while Y % c or c % 8:
-        c //= 2
+    """~1M elements per block window, dividing Y, multiple of 8.
+
+    Searched downward in steps of 8 (not halved: for Y divisible by 8
+    but not a power of two — 2560, 3000 — halving from the ~1M target
+    can skip every valid divisor).  ny % 8 == 0 (stream_solver_fits)
+    guarantees the c = 8 floor divides Y."""
+    target = min(Y, max(8, (1 << 20) // X))
+    c = (target // 8) * 8
+    while c > 8 and Y % c:
+        c -= 8
     return max(c, 8)
 
 

@@ -92,7 +92,7 @@ def _make_preconditioner(cfg: SimConfig, a_diag, fluid, solid, dtype):
             raise ValueError("mg preconditioner needs the solid mask")
         from euler_tpu.ops.multigrid import make_mg_preconditioner
 
-        return make_mg_preconditioner(cfg, solid, fluid, dtype)
+        return make_mg_preconditioner(cfg, solid, fluid, dtype, a_diag=a_diag)
     if kind == "ic0":
         from euler_tpu.ops.ic0 import make_ic0_preconditioner
 

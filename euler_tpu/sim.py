@@ -120,14 +120,25 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         ut = zero_bounds(cfg, ut, fluid, solid, "u")
         vt = zero_bounds(cfg, vt, fluid, solid, "v")
 
+    # Inactive substeps must not burn the solver's iteration budget: with
+    # dt = 0 (fast path) the RHS k_inv_scale = h^2 rho / dt is inf and the
+    # divergence RHS goes NaN, so `rmax <= tol` never fires and every
+    # discarded solve ran the full max_iterations.  dt = inf instead makes
+    # k_inv_scale = 0 and the RHS EXACTLY zero, so the solvers' all_zero
+    # early-out (main.c:742) skips the loop entirely.  Active substeps are
+    # bitwise unaffected.
+    if active is None:
+        dt_proj = dt
+    else:
+        dt_proj = jnp.where(active, dt, jnp.asarray(jnp.inf, dt.dtype))
     if _use_fused_projection(cfg):
         from euler_tpu.ops.pallas.pcg_kernel import project_pallas
 
         u2, v2, _iters, _resid, msq = project_pallas(
-            cfg, dt, ut, vt, fluid, solid
+            cfg, dt_proj, ut, vt, fluid, solid
         )
     else:
-        u2, v2, _info = project(cfg, dt, ut, vt, fluid, solid)
+        u2, v2, _info = project(cfg, dt_proj, ut, vt, fluid, solid)
         msq = max_speed_sq(cfg, u2, v2)
     return state.replace(u=u2, v=v2), msq
 

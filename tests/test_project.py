@@ -144,6 +144,22 @@ def test_zero_rhs_skips_solve():
     assert float(jnp.abs(p).max()) == 0.0
 
 
+def test_inactive_substep_dt_inf_skips_solve(rolled):
+    """sim.py feeds inactive (discarded) substeps dt = inf: the RHS scale
+    h^2 rho / dt becomes exactly 0, the RHS exactly zero, and the solver's
+    all_zero early-out (main.c:742) fires — no iteration budget burned on
+    substeps whose results the activity select throws away."""
+    cfg = SimConfig(solver=SolverConfig(dtype="float32"))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    _u2, _v2, info = project(
+        cfg, jnp.asarray(jnp.inf, jnp.float32), st.u, st.v, st.fluid,
+        scn.solid
+    )
+    assert int(info["iterations"]) == 0
+    assert float(jnp.abs(info["pressure"]).max()) == 0.0
+
+
 def test_relative_tolerance_stopping(rolled):
     """tol_rel: exit when ||r|| <= tol_rel * ||b|| (f32-native stopping;
     the reference's absolute 1e-6 presumes f64 CG, config.py)."""

@@ -50,6 +50,15 @@ def test_stream_matches_xla(monkeypatch, block_rows):
                                atol=2e-3 * scale)
 
 
+def test_block_rows_divides_any_8_multiple():
+    """Regression: for Y % 8 == 0 but not a power of two (2560, 3000 —
+    exactly the beyond-VMEM sizes this kernel serves) the old halving
+    search could skip every valid multiple-of-8 divisor and reach 0."""
+    for Y in (2560, 3000, 4096, 1024, 24, 8, 1048576 // 8):
+        c = SK._block_rows(Y, 2560)
+        assert c % 8 == 0 and Y % c == 0, (Y, c)
+
+
 def test_stream_zero_rhs(monkeypatch):
     monkeypatch.setattr(SK, "_block_rows", lambda Y, X: 16)
     cfg = SimConfig(nx=64, ny=64,
