@@ -187,8 +187,10 @@ def main():
 
     if args.batch > 1:
         residual = max(float(div_inf(st)) for st in states)
+        dropped = sum(int(st.dropped_markers) for st in states)
         active_substeps = None
     else:
+        dropped = int(state.dropped_markers)
         residual = float(div_inf(state))
         # transparency: how many of the nominal max_substeps the NEXT
         # frame actually runs (the reference's data-dependent substep
@@ -222,6 +224,10 @@ def main():
                     if active_substeps is not None else None
                 ),
                 "max_substeps": cfg.max_substeps,
+                # slot-capacity drops over the whole run (the slots
+                # layout's documented deviation from main.c:92-97) —
+                # continuously measured, not a one-off claim
+                "dropped_markers": dropped,
             }
         )
     )

@@ -152,10 +152,12 @@ def run_headless(args):
         pending.put(state)  # final snapshot
         pending.put(None)
         saver.join()
+    dropped = int(state.dropped_markers)
     print(
         f"{args.frames} frames ({cfg.nx}x{cfg.ny}) in {dt:.3f}s "
         f"= {args.frames / dt:.1f} frames/s, "
         f"{cfg.nx * cfg.ny * cfg.max_substeps * args.frames / dt:.3g} cell-steps/s"
+        + (f", {dropped} markers dropped (slot capacity)" if dropped else "")
     )
 
 

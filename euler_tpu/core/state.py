@@ -74,6 +74,13 @@ class FluidState:
     source_exhausted: jax.Array  # bool scalar (main.c:94)
     rng: jax.Array             # u32 [2] xorshift64* state as (hi, lo)
     frame_count: jax.Array     # i32 scalar (g_frame_count)
+    # Cumulative markers dropped by the slots layout's per-cell capacity
+    # (arrivals beyond slots_per_cell, markers_slots.py).  The reference
+    # bounds counts only by its uint8 counter (main.c:92-97), so any
+    # nonzero value here marks a semantic deviation — surfaced in the CLI
+    # stats and bench JSON, and asserted zero over the golden scenarios.
+    # Always 0 in the "global" layout.
+    dropped_markers: jax.Array = None  # i32 scalar
 
     @property
     def fluid(self) -> jax.Array:
@@ -103,6 +110,7 @@ def zeros_state(cfg: SimConfig, rng_pair: np.ndarray) -> FluidState:
         source_exhausted=jnp.zeros((), jnp.bool_),
         rng=jnp.asarray(rng_pair, jnp.uint32),
         frame_count=jnp.zeros((), jnp.int32),
+        dropped_markers=jnp.zeros((), jnp.int32),
     )
 
 

@@ -68,9 +68,17 @@ def save(path: str, cfg: SimConfig, scn: Scenario, state: FluidState) -> None:
 def load(path: str):
     with np.load(path) as z:
         cfg = _cfg_from_json(bytes(z["config_json"].tobytes()).decode())
-        state = FluidState(
-            **{n: jnp.asarray(z[f"state.{n}"]) for n in _STATE_FIELDS}
-        )
+        fields = {}
+        for n in _STATE_FIELDS:
+            key = f"state.{n}"
+            if key in z:
+                fields[n] = jnp.asarray(z[key])
+            elif n == "dropped_markers":
+                # checkpoints written before the drop counter existed
+                fields[n] = jnp.zeros((), jnp.int32)
+            else:
+                raise KeyError(key)
+        state = FluidState(**fields)
         scn = Scenario(**{n: jnp.asarray(z[f"scn.{n}"]) for n in _SCN_FIELDS})
     return cfg, scn, state
 

@@ -258,7 +258,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         from euler_tpu.ops.pallas.rebin_kernel import rebin_markers_pallas
 
         dead = (scn.sink | scn.solid).astype(px.dtype)
-        opx, opy, ova, count = rebin_markers_pallas(
+        opx, opy, ova, count, dropped = rebin_markers_pallas(
             cfg, px, py, valid.astype(px.dtype), dead
         )
         markers, alive = pack_slots(state, opx, opy, ova != 0)
@@ -268,6 +268,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
+            dropped_markers=state.dropped_markers + dropped,
         )
 
     ncx = jnp.floor(px * inv_h).astype(jnp.int32)
@@ -286,6 +287,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
     # the Pallas kernels take a triangular/copy fast path.  Arrivals
     # from the 8 neighbours follow in lexicographic order.
     count = jnp.zeros((Y, X), jnp.int32)
+    dropped = jnp.zeros((), jnp.int32)
     per_offset = []
     for dy, dx in OFFSETS_OWN_FIRST:
         # markers held by cell (y-dy, x-dx) that are bound for (y, x)
@@ -295,6 +297,11 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         rank = jnp.cumsum(src_sel.astype(jnp.int32), axis=0) - 1
         dest = count[None] + rank
         ok = src_sel & (dest < K) & ~dead_cell[None]
+        # capacity drops (NOT sink/solid deletions — those match the
+        # reference, main.c:109-113): arrivals beyond K slots in one cell
+        dropped = dropped + jnp.sum(
+            src_sel & (dest >= K) & ~dead_cell[None], dtype=jnp.int32
+        )
         per_offset.append((ok, dest, src_px, src_py))
         count = count + jnp.sum(ok, axis=0, dtype=jnp.int32)
 
@@ -325,6 +332,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         prev_marker_count=state.marker_count,
         marker_count=count,
         alive_count=jnp.sum(count),
+        dropped_markers=state.dropped_markers + dropped,
     )
 
 
@@ -349,7 +357,7 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         # and spatial [2, K, Y, X]) — no slice/stack HBM traffic
         slots = state.markers.reshape(2 * K, Y, X)
         dead = (scn.sink | scn.solid).astype(slots.dtype)
-        oslots, count = march_rebin_pallas(
+        oslots, count, dropped = march_rebin_pallas(
             cfg, state.u, state.v, state.fluid, scn.solid, slots, dt,
             state.marker_count, dead=dead,
         )
@@ -369,6 +377,7 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
+            dropped_markers=state.dropped_markers + dropped,
         )
     state = advect_markers_slots(cfg, scn, state, dt)
     return refresh_marker_counts_slots(cfg, scn, state)

@@ -89,7 +89,7 @@ def _time_to(p0, p1, vel):
 
 def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                   dt_ref, dead_ref, cnt_hbm, grid_hbm, slots_hbm,
-                  oslots_ref, ocnt_ref,
+                  oslots_ref, ocnt_ref, odrop_ref,
                   csc, gsc, ssc, sems):
     """csc: [3, RW, LW] count windows; gsc: [2*5, RW, LW] grid windows;
     ssc: [2*2K, RW, LW] slot windows; sems: 7 DMA semaphores
@@ -170,6 +170,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
         for d in range(2 * K):
             oslots_ref[d] = zf
         ocnt_ref[:] = jnp.zeros((TY, TX), jnp.int32)
+        odrop_ref[:] = jnp.zeros((8, 128), jnp.int32)
         return 0
 
     def work_tile(_):
@@ -367,6 +368,9 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
 
         # ---- the 8 neighbour offsets, lexicographic (matching
         # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
+        # cumulative capacity drops (arrivals beyond K slots; own-cell
+        # stayers can't drop: their dest rank is <= their slot index)
+        drop = jnp.zeros((), jnp.int32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if (dy, dx) == (0, 0):
@@ -385,7 +389,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                     any_sel = selk if any_sel is None else (any_sel | selk)
 
                 def insert_view(carry, _dy=dy, _dx=dx, _sels=sels):
-                    count, acc_px, acc_py = carry
+                    count, acc_px, acc_py, drop = carry
                     ys, xs = 1 - _dy, 1 - _dx
                     run = count
                     newcount = count
@@ -395,30 +399,35 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                                   ys : ys + TY, xs : xs + TX]
                         selk = _sels[k]
                         destk = run
-                        okk = selk & (destk < K) & ~dead
+                        full = destk >= K
+                        okk = selk & ~full & ~dead
                         okf = okk.astype(f)
+                        drop = drop + jnp.sum(
+                            selk & full & ~dead, dtype=jnp.int32
+                        )
                         for d in range(K):
                             mf = okf * (destk == d).astype(f)
                             acc_px[d] = acc_px[d] + mf * spx
                             acc_py[d] = acc_py[d] + mf * spy
                         run = run + selk.astype(jnp.int32)
                         newcount = newcount + okk.astype(jnp.int32)
-                    return newcount, acc_px, acc_py
+                    return newcount, acc_px, acc_py, drop
 
                 # view-level skip: no marker of these source cells lands
                 # in this tile with this offset -> the whole insertion
                 # pass is a no-op (run/count unchanged, accs unchanged)
-                count, acc_px, acc_py = jax.lax.cond(
+                count, acc_px, acc_py, drop = jax.lax.cond(
                     jnp.any(any_sel),
                     insert_view,
                     lambda carry: carry,
-                    (count, acc_px, acc_py),
+                    (count, acc_px, acc_py, drop),
                 )
 
         for d in range(K):
             oslots_ref[d] = acc_px[d]
             oslots_ref[K + d] = acc_py[d]
         ocnt_ref[:] = count
+        odrop_ref[:] = jnp.full((8, 128), drop, jnp.int32)
         return 0
 
     jax.lax.cond(live(n), work_tile, skip_tile, 0)
@@ -437,7 +446,11 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     copies at 1024² (slice + reshape + stack + concatenate, see PERF.md).
     dead: [Y, X] f32 (sink|solid); count: [Y, X] i32 live counts.
     Validity is NOT an input or output — slots are front-compacted, so
-    slot k of a cell is live iff k < count.  Returns (slots', count').
+    slot k of a cell is live iff k < count.  Returns
+    (slots', count', dropped) where dropped is the i32 number of markers
+    lost to the per-cell slot capacity this pass (the slots layout's
+    documented deviation from main.c:92-97; sink/solid deletions are NOT
+    counted — those match the reference).
 
     Batching: the pallas_call takes HBM-space refs (the manual halo
     DMAs), which Pallas cannot auto-batch — a custom_vmap rule maps the
@@ -519,12 +532,13 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
 
     kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt)
-    oslots, ocnt = pl.pallas_call(
+    oslots, ocnt, odrop = pl.pallas_call(
         kernel,
         grid=(nt,),
         out_shape=[
             jax.ShapeDtypeStruct((2 * K, Y, X), f),
             jax.ShapeDtypeStruct((Y, X), jnp.int32),
+            jax.ShapeDtypeStruct((nt * 8, 128), jnp.int32),
         ],
         in_specs=[
             pl.BlockSpec((1, 128), lambda n: (0, 0),
@@ -534,7 +548,11 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
             hbm_spec,    # grid planes (padded)
             hbm_spec,    # slot planes (padded)
         ],
-        out_specs=[slot_spec, tile_spec],
+        out_specs=[
+            slot_spec, tile_spec,
+            pl.BlockSpec((8, 128), lambda n: (n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((3, RW, LW), jnp.int32),
             pltpu.VMEM((2 * 5, RW, LW), f),
@@ -547,4 +565,4 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         ),
         interpret=interpret,
     )(dt_arr, dead, cnt_pad, grid_pad, slots_pad)
-    return oslots, ocnt
+    return oslots, ocnt, jnp.sum(odrop[::8, 0])

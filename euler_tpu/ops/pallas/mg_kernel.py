@@ -1,36 +1,42 @@
-"""Pallas TPU kernel: PCG with an in-kernel multigrid V-cycle.
+"""Pallas TPU kernel: PCG with an in-kernel Galerkin multigrid cycle.
 
 The Jacobi-preconditioned single-launch solver (pcg_kernel.py) honours
 the reference's iteration budget (<=100, tol 1e-6 — main.c:735-736) but
 plain Jacobi-PCG does not CONVERGE within it beyond ~256²: at 1024² the
 residual after 100 iterations is ~27 (bench JSON `post_projection_
-div_inf`).  The XLA multigrid preconditioner (ops/multigrid.py) makes
-the iteration count grid-size independent (~10) but emits hundreds of
-small coarse-level kernels per V-cycle and is launch-bound on this
-runtime.  This kernel runs the ENTIRE MG-PCG solve — every V-cycle,
+div_inf`).  This kernel runs the ENTIRE MG-PCG solve — every W/V-cycle,
 smoothing sweep, restriction and prolongation — inside one launch, with
 every level's iterate resident in VMEM.
 
-TPU-native formulation of the transfer operators (Mosaic supports
-sublane-dim reshapes but no lane-dim reshapes/strided slices — probed):
+Hierarchy: the Galerkin one (ops/multigrid.py build_galerkin_hierarchy)
+— exact coarse operators A_c = P^T A P for piecewise-constant
+prolongation, which stay 5-POINT in edge-weight form (c, e, n planes).
+This replaces the round-2 mask-coarsened rediscretized hierarchy, whose
+V-cycle rate (~0.65 at 1024²) was boundary-limited: any-fluid mask
+coarsening loses the free-surface Dirichlet geometry.  Measured PCG
+iteration counts to rel 1e-4 on dam-break geometry: 15/15/17 at
+256²/512²/1024² with the W-cycle (level-independent), vs ~90 for the
+old hierarchy at 1024².
 
-  * Y (sublane) axis on the VPU: even/odd row split via
-    reshape([Yc, 2, X]) + middle-index, interleave via stack + reshape;
-  * X (lane) axis on the MXU: a dot with the 1D bilinear restriction
-    matrix Rx [Xf, Xc] (two + two nonzeros per row, weights 3/4, 1/4 —
-    the exact adjoint pair of ops/multigrid.py's _prolong/_restrict),
-    and its transpose for prolongation.
+TPU-native transfer formulation (Mosaic supports sublane-dim reshapes
+but no lane-dim reshapes/strided slices — probed):
 
-Smoothing is red-black Gauss-Seidel in symmetric colour order (red-black
-pre, black-red post, forward-then-reversed coarse solve), identical to
-ops/multigrid.py, so the V-cycle is a fixed SPD operator.  Chunk-sweep
-in-place colour updates are safe: a red update reads only black
-neighbours, so chunk order cannot change the result.
+  * constant transfers are BLOCK-ALIGNED (coarse row chunk [rc0, rc1)
+    touches exactly fine rows [2rc0, 2rc1) — no halo rows, unlike the
+    old bilinear pair);
+  * Y (sublane) axis: even/odd row split via reshape([Cc, 2, X]) + sum,
+    interleave via stack + reshape;
+  * X (lane) axis: a dot with the 1D pair-sum matrix Rx [Xf, Xc]
+    (entries 1 at (2j, j) and (2j+1, j)) on the MXU, and its transpose
+    for prolongation (lane duplication).
 
-Hierarchy masks (fluid/a_diag per level, McAdams-style coarsening) are
-built OUTSIDE the kernel by ops.multigrid.build_hierarchy — they are a
-handful of cheap mask ops on shrinking arrays — and enter as packed f32
-planes (a_diag + 8*fluid, as in pcg_kernel.py).
+Smoothing is red-black Gauss-Seidel in symmetric colour order (exact for
+5-point operators: colours decouple), identical to ops/multigrid.py's
+smooth_edge, so the cycle is a fixed SPD operator.  Level 0 uses the
+packed a_diag+fluid plane (the PCG matrix, -1 couplings implicit);
+levels >= 1 use the real-valued edge-weight planes, whose couplings are
+zero toward inactive cells — so no masking is needed above level 0, and
+the prolongation into level 0 is masked by the fluid plane once.
 """
 
 from __future__ import annotations
@@ -46,56 +52,49 @@ from jax.experimental.pallas import tpu as pltpu
 from euler_tpu.config import SimConfig
 from euler_tpu.ops.pallas.pcg_kernel import _VMEM_BUDGET, _chunk_rows
 
-_W0 = np.float32(0.75)
-_W1 = np.float32(0.25)
-
 
 def _level_shapes(Y: int, X: int, min_size: int):
-    """Fine-to-coarse level shapes, mirroring build_hierarchy's loop."""
+    """Fine-to-coarse level shapes, mirroring build_galerkin_hierarchy."""
     shapes = [(Y, X)]
     while min(shapes[-1]) > min_size:
         Yl, Xl = shapes[-1]
         if Yl % 2 or Xl % 2:
-            break  # build_hierarchy would pad; mg_pallas_fits() gates this
+            break  # hierarchy would pad; mg_pallas_fits() gates this
         shapes.append((Yl // 2, Xl // 2))
     return shapes
 
 
-def _restrict_matrix(Xf: int, Xc: int) -> np.ndarray:
-    """1D bilinear restriction [Xf, Xc]: column j weights fine samples
-    {2j-1: 1/4, 2j: 3/4, 2j+1: 3/4, 2j+2: 1/4} (adjoint of _prolong's
-    3/4-1/4 interpolation; per-axis mass 2 so the 2D pair folds in the
-    dx_c^2 = 4 dx^2 factor exactly as ops/multigrid.py does)."""
+def _pair_matrix(Xf: int, Xc: int) -> np.ndarray:
+    """1D constant-prolongation restriction [Xf, Xc]: column j sums fine
+    lanes 2j and 2j+1 (P^T for lane duplication)."""
     W = np.zeros((Xf, Xc), np.float32)
     for j in range(Xc):
-        W[2 * j, j] = _W0
-        W[2 * j + 1, j] = _W0
-        if 2 * j - 1 >= 0:
-            W[2 * j - 1, j] = _W1
-        if 2 * j + 2 < Xf:
-            W[2 * j + 2, j] = _W1
+        W[2 * j, j] = 1.0
+        W[2 * j + 1, j] = 1.0
     return W
 
 
 def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
-               pre: int, post: int, coarse_iters: int,
+               pre: int, post: int, coarse_iters: int, w: int,
                b_ref, *refs):
-    """refs layout: packed[0..L-1], Rx[0..L-2], RxT[0..L-2],
-    p_ref, iters_ref, resid_ref, r_ref(aliased b), z_ref, s_ref, as_ref,
-    x[1..L-1], bl[1..L-1]."""
+    """refs layout: packed0, [c, e, n, inv][1..L-1] (4 planes per coarse
+    level), Rx[0..L-2], RxT[0..L-2], p_ref, iters_ref, resid_ref,
+    r_ref(aliased b), z_ref, s_ref, as_ref, x[1..L-1], bl[1..L-1]."""
     L = len(shapes)
     f32 = jnp.float32
-    packed = list(refs[0:L])
-    Rx = list(refs[L:2 * L - 1])
-    RxT = list(refs[2 * L - 1:3 * L - 2])
-    p_ref, iters_ref, resid_ref, r_ref, z_ref, s_ref, as_ref = (
-        refs[3 * L - 2:3 * L + 5]
-    )
-    x_l = [z_ref] + list(refs[3 * L + 5:4 * L + 4])
-    b_l = [r_ref] + list(refs[4 * L + 4:5 * L + 3])
+    packed0 = refs[0]
+    coef = [None] + [refs[1 + 4 * l: 5 + 4 * l] for l in range(L - 1)]
+    o = 1 + 4 * (L - 1)
+    Rx = list(refs[o:o + L - 1])
+    RxT = list(refs[o + L - 1:o + 2 * (L - 1)])
+    o += 2 * (L - 1)
+    p_ref, iters_ref, resid_ref, r_ref, z_ref, s_ref, as_ref = refs[o:o + 7]
+    o += 7
+    x_l = [z_ref] + list(refs[o:o + L - 1])
+    b_l = [r_ref] + list(refs[o + L - 1:o + 2 * (L - 1)])
 
-    def decode(l, r0, r1):
-        pk = packed[l][r0:r1]
+    def decode0(r0, r1):
+        pk = packed0[r0:r1]
         fl = jnp.where(pk >= 8.0, 1.0, 0.0).astype(f32)
         a = pk - 8.0 * fl
         # multigrid inv_diag convention: 0 on a == 0 cells (fully
@@ -124,12 +123,32 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             [a[:, 1:], jnp.zeros((a.shape[0], 1), f32)], axis=1)
 
     def lap_rows(l, x_ref_l, r0, r1):
-        """(a*x - sum of neighbours) on rows [r0, r1), unmasked."""
-        _, a, _ = decode(l, r0, r1)
+        """A x on rows [r0, r1).  Level 0: the packed 5-point form
+        (a*x - neighbour sum), valid because level-0 iterates are zero
+        outside the fluid; levels >= 1: the edge-weight form, whose
+        couplings are zero toward inactive cells (junk-immune)."""
         x = x_ref_l[r0:r1]
-        up = rows(x_ref_l, r0 + 1, r1 + 1, l)
-        dn = rows(x_ref_l, r0 - 1, r1 - 1, l)
-        return a * x - (shl(x) + shr(x) + up + dn)
+        if l == 0:
+            _, a, _ = decode0(r0, r1)
+            up = rows(x_ref_l, r0 + 1, r1 + 1, 0)
+            dn = rows(x_ref_l, r0 - 1, r1 - 1, 0)
+            return a * x - (shl(x) + shr(x) + up + dn)
+        c_ref, e_ref, n_ref, _ = coef[l]
+        c = c_ref[r0:r1]
+        e = e_ref[r0:r1]
+        n = n_ref[r0:r1]
+        x_up = rows(x_ref_l, r0 + 1, r1 + 1, l)
+        # south coupling: n[i-1] * x[i-1]
+        n_dn = rows(n_ref, r0 - 1, r1 - 1, l)
+        x_dn = rows(x_ref_l, r0 - 1, r1 - 1, l)
+        return (c * x + e * shr(x) + shl(e * x)
+                + n * x_up + n_dn * x_dn)
+
+    def inv_rows(l, r0, r1):
+        if l == 0:
+            _, _, invd = decode0(r0, r1)
+            return invd
+        return coef[l][3][r0:r1]
 
     def red_mask(l, r0, r1):
         Yl, Xl = shapes[l]
@@ -138,13 +157,13 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         return ((yy + xx) & 1) == 0
 
     def half_sweep(l, want_red: bool):
-        """x += color * invd * (b - A x), chunked in place (safe: a red
-        update reads only black neighbours and vice versa)."""
+        """x += color * inv * (b - A x), chunked in place (safe: for a
+        5-point operator a red update reads only black neighbours)."""
         Yl, _ = shapes[l]
         C = chunks[l]
         for c in range(Yl // C):
             r0, r1 = c * C, (c + 1) * C
-            _, _, invd = decode(l, r0, r1)
+            invd = inv_rows(l, r0, r1)
             res = b_l[l][r0:r1] - lap_rows(l, x_l[l], r0, r1)
             upd = invd * res
             color = red_mask(l, r0, r1)
@@ -164,75 +183,57 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             x_l[l][c * C:(c + 1) * C] = jnp.zeros((C, Xl), f32)
 
     def restrict(l):
-        """b_{l+1} = R(fluid_l * (b_l - A_l x_l)), chunked over coarse rows."""
+        """b_{l+1} = R(b_l - A_l x_l): block-aligned 2x2 sums (coarse
+        chunk rows [rc0, rc1) read exactly fine rows [2rc0, 2rc1))."""
         Yc, Xc = shapes[l + 1]
         Cc = chunks[l + 1]
         for c in range(Yc // Cc):
             rc0, rc1 = c * Cc, (c + 1) * Cc
-            fr0, fr1 = 2 * rc0 - 1, 2 * rc1 + 1  # fine rows incl. stencil halo
-            fl, _, _ = (
-                decode(l, max(fr0, 0), min(fr1, shapes[l][0]))
-            )
-            res_core = b_l[l][max(fr0, 0):min(fr1, shapes[l][0])] - lap_rows(
-                l, x_l[l], max(fr0, 0), min(fr1, shapes[l][0])
-            )
-            res_core = fl * res_core
-            # zero-fill the out-of-range boundary rows
-            parts = []
-            if fr0 < 0:
-                parts.append(jnp.zeros((-fr0, shapes[l][1]), f32))
-            parts.append(res_core)
-            if fr1 > shapes[l][0]:
-                parts.append(jnp.zeros((fr1 - shapes[l][0], shapes[l][1]), f32))
-            res = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-            # res rows cover fine [fr0, fr1); index 1 + k is fine row 2*rc0+k
-            q = res[1:1 + 2 * Cc].reshape(Cc, 2, shapes[l][1])
-            e0 = q[:, 0, :]
-            e1 = q[:, 1, :]
-            e1_dn = jnp.concatenate([res[0:1], e1[:-1]], axis=0)
-            e0_up = jnp.concatenate([e0[1:], res[1 + 2 * Cc:2 + 2 * Cc]], 0)
-            yt = _W0 * (e0 + e1) + _W1 * (e1_dn + e0_up)
+            fr0, fr1 = 2 * rc0, 2 * rc1
+            res = b_l[l][fr0:fr1] - lap_rows(l, x_l[l], fr0, fr1)
+            if l == 0:
+                fl, _, _ = decode0(fr0, fr1)
+                res = fl * res
+            q = res.reshape(Cc, 2, shapes[l][1])
+            yt = q[:, 0, :] + q[:, 1, :]
             b_l[l + 1][rc0:rc1] = jnp.dot(
                 yt, Rx[l][...], preferred_element_type=f32
             )
 
     def prolong_add(l):
-        """x_l += fluid_l * P(fluid_{l+1} * x_{l+1}), chunked coarse rows."""
+        """x_l += P x_{l+1}: each fine cell adds its parent's value
+        (masked by the fluid plane at level 0 only — coarse-level
+        couplings toward inactive cells are zero, so junk is inert)."""
         Yc, Xc = shapes[l + 1]
         Cc = chunks[l + 1]
         for c in range(Yc // Cc):
             rc0, rc1 = c * Cc, (c + 1) * Cc
-            flc, _, _ = decode(l + 1, max(rc0 - 1, 0), min(rc1 + 1, Yc))
-            ew = flc * x_l[l + 1][max(rc0 - 1, 0):min(rc1 + 1, Yc)]
-            parts = []
-            if rc0 - 1 < 0:
-                parts.append(jnp.zeros((1, Xc), f32))
-            parts.append(ew)
-            if rc1 + 1 > Yc:
-                parts.append(jnp.zeros((1, Xc), f32))
-            ew = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            ew = x_l[l + 1][rc0:rc1]
             xe = jnp.dot(ew, RxT[l][...], preferred_element_type=f32)
-            # xe rows cover coarse [rc0-1, rc1+1); core at offset 1
-            core = xe[1:1 + Cc]
-            p0 = _W0 * core + _W1 * xe[0:Cc]
-            p1 = _W0 * core + _W1 * xe[2:2 + Cc]
-            out = jnp.stack([p0, p1], axis=1).reshape(2 * Cc, shapes[l][1])
+            out = jnp.stack([xe, xe], axis=1).reshape(2 * Cc, shapes[l][1])
             fr0, fr1 = 2 * rc0, 2 * rc1
-            flf, _, _ = decode(l, fr0, fr1)
-            x_l[l][fr0:fr1] = x_l[l][fr0:fr1] + flf * out
+            if l == 0:
+                flf, _, _ = decode0(fr0, fr1)
+                out = flf * out
+            x_l[l][fr0:fr1] = x_l[l][fr0:fr1] + out
 
-    def v_cycle():
-        """z = M^{-1} r: x_0 accumulates into z_ref; b_0 is r_ref."""
-        for l in range(L):
+    def cycle(l):
+        """z = M^{-1} r at l = 0 (x_0 accumulates into z_ref; b_0 is
+        r_ref).  w = 2 gives the W-cycle (two coarse-grid visits per
+        level, except directly above the coarsest)."""
+        if l == L - 1:
             zero_level(l)
-        for l in range(L - 1):
-            smooth(l, pre, reverse=False)
+            smooth(l, coarse_iters, reverse=False)
+            smooth(l, coarse_iters, reverse=True)
+            return
+        zero_level(l)
+        smooth(l, pre, reverse=False)
+        visits = w if l + 1 < L - 1 else 1
+        for _ in range(visits):
             restrict(l)
-        smooth(L - 1, coarse_iters, reverse=False)
-        smooth(L - 1, coarse_iters, reverse=True)
-        for l in range(L - 2, -1, -1):
+            cycle(l + 1)
             prolong_add(l)
-            smooth(l, post, reverse=True)
+        smooth(l, post, reverse=True)
 
     # ---- PCG (stopping rule of main.c:738-767) ----
     Y0, X0 = shapes[0]
@@ -249,7 +250,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
     tol_eff = jnp.maximum(jnp.asarray(tol, f32),
                           jnp.asarray(tol_rel, f32) * rmax0)
 
-    v_cycle()
+    cycle(0)
     sigma0 = jnp.zeros((), f32)
     for c in range(nchunks0):
         r0, r1 = c * C0, (c + 1) * C0
@@ -266,7 +267,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         zs = jnp.zeros((), f32)
         for c in range(nchunks0):
             r0, r1 = c * C0, (c + 1) * C0
-            fl, _, _ = decode(0, r0, r1)
+            fl, _, _ = decode0(r0, r1)
             As = fl * lap_rows(0, s_ref, r0, r1)
             as_ref[r0:r1] = As
             zs = zs + jnp.sum(As * s_ref[r0:r1])
@@ -281,7 +282,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
         conv = rmax <= tol_eff
 
-        v_cycle()
+        cycle(0)
         sigma_new = jnp.zeros((), f32)
         for c in range(nchunks0):
             r0, r1 = c * C0, (c + 1) * C0
@@ -305,9 +306,9 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
                              interpret: bool = False):
-    """One-launch MG-PCG.  Returns (p, iterations, residual), same
-    contract as ops.project.solve_pressure."""
-    from euler_tpu.ops.multigrid import build_hierarchy
+    """One-launch Galerkin MG-PCG.  Returns (p, iterations, residual),
+    same contract as ops.project.solve_pressure."""
+    from euler_tpu.ops.multigrid import build_galerkin_hierarchy
 
     Y, X = cfg.ny, cfg.nx
     f = jnp.float32
@@ -315,16 +316,18 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     L = len(shapes)
     chunks = tuple(_chunk_rows(Yl, Xl) for Yl, Xl in shapes)
 
-    levels = build_hierarchy(solid, fluid, f, min_size=cfg.solver.mg_min_size)
+    levels = build_galerkin_hierarchy(
+        a_diag, fluid, f, min_size=cfg.solver.mg_min_size
+    )
     assert len(levels) == L, (len(levels), L)
-    packed = [
-        lv.a_diag.astype(f) * lv.fluid.astype(f) + 8.0 * lv.fluid.astype(f)
-        for lv in levels
-    ]
-    # level 0's packed plane must encode the PCG matrix itself
-    packed[0] = a_diag.astype(f) * fluid.astype(f) + 8.0 * fluid.astype(f)
+    # level 0 enters as the packed PCG-matrix plane (shared with the
+    # Jacobi kernel's encoding); coarse levels as edge-weight planes
+    packed0 = a_diag.astype(f) * fluid.astype(f) + 8.0 * fluid.astype(f)
+    coef_planes = []
+    for lv in levels[1:]:
+        coef_planes += [lv.c, lv.e, lv.n, lv.inv_c]
 
-    Rx = [jnp.asarray(_restrict_matrix(shapes[l][1], shapes[l + 1][1]))
+    Rx = [jnp.asarray(_pair_matrix(shapes[l][1], shapes[l + 1][1]))
           for l in range(L - 1)]
     RxT = [jnp.swapaxes(m, 0, 1) for m in Rx]
 
@@ -334,10 +337,11 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         float(cfg.solver.tol_rel),
         cfg.solver.mg_pre_smooth, cfg.solver.mg_post_smooth,
         cfg.solver.mg_coarse_iters,
+        2 if cfg.solver.mg_cycle == "w" else 1,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_in = 1 + L + 2 * (L - 1)
+    n_in = 1 + 1 + 4 * (L - 1) + 2 * (L - 1)
     out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -358,19 +362,21 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(b.astype(f), *packed, *Rx, *RxT)
+    )(b.astype(f), packed0, *coef_planes, *Rx, *RxT)
     p, iters, resid, _r = out
     return p, iters[0, 0], resid[0, 0]
 
 
 def mg_pallas_fits(cfg: SimConfig) -> bool:
-    """f32 + mg only; every level size must stay even down to min_size
-    (no padding in-kernel) and ~7.5 fine-plane equivalents must fit."""
+    """f32 + mg + galerkin only; every level size must stay even down to
+    min_size (no padding in-kernel) and ~9 fine-plane equivalents must
+    fit (7.5 as before + ~1.7 for the coarse coefficient planes)."""
     if not (cfg.solver.preconditioner == "mg"
-            and cfg.solver.dtype == "float32"):
+            and cfg.solver.dtype == "float32"
+            and cfg.solver.mg_scheme == "galerkin"):
         return False
     shapes = _level_shapes(cfg.ny, cfg.nx, cfg.solver.mg_min_size)
     Yl, Xl = shapes[-1]
     if min(Yl, Xl) > cfg.solver.mg_min_size:
         return False  # hit an odd size before reaching the coarsest level
-    return int(cfg.ny * cfg.nx * 4 * 7.5) <= _VMEM_BUDGET
+    return int(cfg.ny * cfg.nx * 4 * 9.2) <= _VMEM_BUDGET

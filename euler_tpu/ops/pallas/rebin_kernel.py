@@ -45,7 +45,7 @@ def _shift_x(a, dx: int, fill=0.0):
 def _rebin_kernel(cfg: SimConfig, TY,
                   px_m1, px_0, px_p1, py_m1, py_0, py_p1,
                   va_m1, va_0, va_p1, dead_ref,
-                  opx_ref, opy_ref, ova_ref, cnt_ref):
+                  opx_ref, opy_ref, ova_ref, cnt_ref, drop_ref):
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     inv_h = np.float32(1.0) / np.float32(cfg.side_length)
     row0 = pl.program_id(0) * TY
@@ -70,10 +70,12 @@ def _rebin_kernel(cfg: SimConfig, TY,
             opy_ref[d] = zf
             ova_ref[d] = zf
         cnt_ref[:] = jnp.zeros((TY, X), jnp.int32)
+        drop_ref[:] = jnp.zeros((8, 128), jnp.int32)
         return 0
 
     def rebin_tile(_):
         count = jnp.zeros((TY, X), jnp.int32)
+        drop = jnp.zeros((), jnp.int32)
         # accumulators per destination slot (validity is NOT accumulated:
         # insertion is front-compacted, so valid slots are exactly d < count)
         acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
@@ -105,6 +107,10 @@ def _rebin_kernel(cfg: SimConfig, TY,
                     destk = run
                     okk = selk & (destk < K) & ~dead
                     okf = okk.astype(jnp.float32)
+                    # capacity drops (not sink/solid deletions)
+                    drop = drop + jnp.sum(
+                        selk & (destk >= K) & ~dead, dtype=jnp.int32
+                    )
                     for d in range(K):
                         mf = okf * (destk == d).astype(jnp.float32)
                         acc_px[d] = acc_px[d] + mf * spx[k]
@@ -118,6 +124,7 @@ def _rebin_kernel(cfg: SimConfig, TY,
             opy_ref[d] = acc_py[d]
             ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(jnp.float32)
         cnt_ref[:] = count
+        drop_ref[:] = jnp.full((8, 128), drop, jnp.int32)
         return 0
 
     # tile-level skip: arrivals can only come from this block's rows and
@@ -137,8 +144,9 @@ def _three_row_views(a):
 def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
                          interpret: bool = False):
     """Fused re-binning.  px/py/valid_f: [K, Y, X] (valid as f32 0/1),
-    dead: [Y, X] f32 (sink|solid).  Returns (px', py', valid_f', count).
-    """
+    dead: [Y, X] f32 (sink|solid).  Returns
+    (px', py', valid_f', count, dropped) — dropped is the i32 count of
+    markers lost to the per-cell slot capacity this pass."""
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
 
@@ -161,7 +169,7 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
         inputs.extend(_three_row_views(a))
 
     kernel = functools.partial(_rebin_kernel, cfg, TY)
-    opx, opy, ova, cnt = pl.pallas_call(
+    opx, opy, ova, cnt, drop = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=[
@@ -169,12 +177,19 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((Y, X), jnp.int32),
+            # per-tile drop scalar broadcast over one (8, 128) block (the
+            # minimum Mosaic output tile)
+            jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.int32),
         ],
         in_specs=[slot_blk] * 9 + [row_blk],
-        out_specs=[slot_blk, slot_blk, slot_blk, row_blk],
+        out_specs=[
+            slot_blk, slot_blk, slot_blk, row_blk,
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs, dead)
-    return opx, opy, ova, cnt
+    return opx, opy, ova, cnt, jnp.sum(drop[::8, 0])

@@ -65,13 +65,15 @@ def test_pallas_rebin_matches_jnp():
 
     px, py, valid = slot_views(cfg, st)
     dead = (scn.sink | scn.solid).astype(px.dtype)
-    opx, opy, ova, count = rebin_markers_pallas(
+    opx, opy, ova, count, dropped = rebin_markers_pallas(
         cfg, px, py, valid.astype(px.dtype), dead, interpret=True
     )
 
     np.testing.assert_array_equal(
         np.asarray(count), np.asarray(ref.marker_count)
     )
+    # both paths count the same capacity drops
+    assert int(dropped) == int(ref.dropped_markers) - int(st.dropped_markers)
     rpx, rpy, rva = slot_views(cfg, ref)
     np.testing.assert_array_equal(np.asarray(ova) != 0, np.asarray(rva))
     m = np.asarray(rva)
@@ -106,7 +108,7 @@ def test_fused_marker_pass_matches_two_kernel_path():
     K = cfg.slots_per_cell
     slots = st.markers.reshape(2 * K, cfg.ny, cfg.nx)
     dead = (scn.sink | scn.solid).astype(slots.dtype)
-    oslots, count = march_rebin_pallas(
+    oslots, count, dropped = march_rebin_pallas(
         cfg, st.u, st.v, st.fluid, scn.solid, slots, dt,
         st.marker_count, interpret=True, dead=dead,
     )
@@ -115,6 +117,7 @@ def test_fused_marker_pass_matches_two_kernel_path():
     np.testing.assert_array_equal(
         np.asarray(count), np.asarray(ref.marker_count)
     )
+    assert int(dropped) == int(ref.dropped_markers) - int(st.dropped_markers)
     rpx, rpy, rva = slot_views(cfg, ref)
     m = np.asarray(rva)
     np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],

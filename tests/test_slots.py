@@ -99,6 +99,8 @@ def test_slot_overflow_drops():
     assert counts[3, 3] == 4  # 8 arrivals capped at K=4
     assert counts.sum() == 4
     assert int(st2.alive_count) == 4
+    # the capacity deviation is OBSERVABLE: 4 of 8 arrivals were dropped
+    assert int(st2.dropped_markers) == 4
     # front-compaction invariant: valid slots are a prefix per cell
     valid = np.asarray(st2.alive).reshape(K, 8, 8)
     k = valid.sum(0)
