@@ -268,7 +268,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
-            dropped_markers=state.dropped_markers + dropped,
+            dropped_markers=state.dropped_markers + jnp.sum(dropped),
         )
 
     ncx = jnp.floor(px * inv_h).astype(jnp.int32)
@@ -377,7 +377,7 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             prev_marker_count=state.marker_count,
             marker_count=count,
             alive_count=jnp.sum(count),
-            dropped_markers=state.dropped_markers + dropped,
+            dropped_markers=state.dropped_markers + jnp.sum(dropped),
         )
     state = advect_markers_slots(cfg, scn, state, dt)
     return refresh_marker_counts_slots(cfg, scn, state)

@@ -170,7 +170,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
         for d in range(2 * K):
             oslots_ref[d] = zf
         ocnt_ref[:] = jnp.zeros((TY, TX), jnp.int32)
-        odrop_ref[:] = jnp.zeros((8, 128), jnp.int32)
+        odrop_ref[:] = jnp.zeros((TY, TX), jnp.int32)
         return 0
 
     def work_tile(_):
@@ -368,9 +368,11 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
 
         # ---- the 8 neighbour offsets, lexicographic (matching
         # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
-        # cumulative capacity drops (arrivals beyond K slots; own-cell
-        # stayers can't drop: their dest rank is <= their slot index)
-        drop = jnp.zeros((), jnp.int32)
+        # per-DESTINATION-CELL capacity drops (arrivals beyond K slots;
+        # own-cell stayers can't drop: their dest rank is <= their slot
+        # index).  A [TY, TX] plane rather than a scalar so a sharded
+        # caller can crop redundantly-computed halo cells exactly.
+        drop = jnp.zeros((TY, TX), jnp.int32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if (dy, dx) == (0, 0):
@@ -399,18 +401,19 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
                                   ys : ys + TY, xs : xs + TX]
                         selk = _sels[k]
                         destk = run
-                        full = destk >= K
-                        okk = selk & ~full & ~dead
+                        okk = selk & (destk < K) & ~dead
                         okf = okk.astype(f)
-                        drop = drop + jnp.sum(
-                            selk & full & ~dead, dtype=jnp.int32
-                        )
                         for d in range(K):
                             mf = okf * (destk == d).astype(f)
                             acc_px[d] = acc_px[d] + mf * spx
                             acc_py[d] = acc_py[d] + mf * spy
                         run = run + selk.astype(jnp.int32)
                         newcount = newcount + okk.astype(jnp.int32)
+                    # capacity drops = candidates - accepted at non-dead
+                    # cells (at dead cells the difference is the
+                    # reference's sink/solid deletions — not drops).
+                    # One op per view instead of one per (k, d) pair.
+                    drop = drop + jnp.where(dead, 0, run - newcount)
                     return newcount, acc_px, acc_py, drop
 
                 # view-level skip: no marker of these source cells lands
@@ -427,7 +430,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
             oslots_ref[d] = acc_px[d]
             oslots_ref[K + d] = acc_py[d]
         ocnt_ref[:] = count
-        odrop_ref[:] = jnp.full((8, 128), drop, jnp.int32)
+        odrop_ref[:] = drop
         return 0
 
     jax.lax.cond(live(n), work_tile, skip_tile, 0)
@@ -447,10 +450,12 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     dead: [Y, X] f32 (sink|solid); count: [Y, X] i32 live counts.
     Validity is NOT an input or output — slots are front-compacted, so
     slot k of a cell is live iff k < count.  Returns
-    (slots', count', dropped) where dropped is the i32 number of markers
-    lost to the per-cell slot capacity this pass (the slots layout's
-    documented deviation from main.c:92-97; sink/solid deletions are NOT
-    counted — those match the reference).
+    (slots', count', dropped) where dropped is a [Y, X] i32 plane of
+    per-destination-cell markers lost to the slot capacity this pass
+    (the slots layout's documented deviation from main.c:92-97;
+    sink/solid deletions are NOT counted — those match the reference).
+    A plane rather than a scalar so sharded callers can crop halo cells;
+    single-chip callers jnp.sum it.
 
     Batching: the pallas_call takes HBM-space refs (the manual halo
     DMAs), which Pallas cannot auto-batch — a custom_vmap rule maps the
@@ -538,7 +543,7 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         out_shape=[
             jax.ShapeDtypeStruct((2 * K, Y, X), f),
             jax.ShapeDtypeStruct((Y, X), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
         ],
         in_specs=[
             pl.BlockSpec((1, 128), lambda n: (0, 0),
@@ -548,11 +553,7 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
             hbm_spec,    # grid planes (padded)
             hbm_spec,    # slot planes (padded)
         ],
-        out_specs=[
-            slot_spec, tile_spec,
-            pl.BlockSpec((8, 128), lambda n: (n, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[slot_spec, tile_spec, tile_spec],
         scratch_shapes=[
             pltpu.VMEM((3, RW, LW), jnp.int32),
             pltpu.VMEM((2 * 5, RW, LW), f),
@@ -565,4 +566,4 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         ),
         interpret=interpret,
     )(dt_arr, dead, cnt_pad, grid_pad, slots_pad)
-    return oslots, ocnt, jnp.sum(odrop[::8, 0])
+    return oslots, ocnt, odrop

@@ -70,12 +70,13 @@ def _rebin_kernel(cfg: SimConfig, TY,
             opy_ref[d] = zf
             ova_ref[d] = zf
         cnt_ref[:] = jnp.zeros((TY, X), jnp.int32)
-        drop_ref[:] = jnp.zeros((8, 128), jnp.int32)
+        drop_ref[:] = jnp.zeros((TY, X), jnp.int32)
         return 0
 
     def rebin_tile(_):
         count = jnp.zeros((TY, X), jnp.int32)
-        drop = jnp.zeros((), jnp.int32)
+        # per-destination-cell capacity drops (see marker_fused_kernel)
+        drop = jnp.zeros((TY, X), jnp.int32)
         # accumulators per destination slot (validity is NOT accumulated:
         # insertion is front-compacted, so valid slots are exactly d < count)
         acc_px = [jnp.zeros((TY, X), jnp.float32) for _ in range(K)]
@@ -107,16 +108,16 @@ def _rebin_kernel(cfg: SimConfig, TY,
                     destk = run
                     okk = selk & (destk < K) & ~dead
                     okf = okk.astype(jnp.float32)
-                    # capacity drops (not sink/solid deletions)
-                    drop = drop + jnp.sum(
-                        selk & (destk >= K) & ~dead, dtype=jnp.int32
-                    )
                     for d in range(K):
                         mf = okf * (destk == d).astype(jnp.float32)
                         acc_px[d] = acc_px[d] + mf * spx[k]
                         acc_py[d] = acc_py[d] + mf * spy[k]
                     run = run + selk.astype(jnp.int32)
                     newcount = newcount + okk.astype(jnp.int32)
+                # capacity drops = candidates - accepted at non-dead
+                # cells (at dead cells the difference is the reference's
+                # sink/solid deletion, not a drop)
+                drop = drop + jnp.where(dead, 0, run - newcount)
                 count = newcount
 
         for d in range(K):
@@ -124,7 +125,7 @@ def _rebin_kernel(cfg: SimConfig, TY,
             opy_ref[d] = acc_py[d]
             ova_ref[d] = jnp.where(count > d, 1.0, 0.0).astype(jnp.float32)
         cnt_ref[:] = count
-        drop_ref[:] = jnp.full((8, 128), drop, jnp.int32)
+        drop_ref[:] = drop
         return 0
 
     # tile-level skip: arrivals can only come from this block's rows and
@@ -145,8 +146,9 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
                          interpret: bool = False):
     """Fused re-binning.  px/py/valid_f: [K, Y, X] (valid as f32 0/1),
     dead: [Y, X] f32 (sink|solid).  Returns
-    (px', py', valid_f', count, dropped) — dropped is the i32 count of
-    markers lost to the per-cell slot capacity this pass."""
+    (px', py', valid_f', count, dropped) — dropped is a [Y, X] i32 plane
+    of per-destination-cell markers lost to the slot capacity this
+    pass."""
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = px.dtype
 
@@ -177,19 +179,13 @@ def rebin_markers_pallas(cfg: SimConfig, px, py, valid_f, dead,
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((K, Y, X), f),
             jax.ShapeDtypeStruct((Y, X), jnp.int32),
-            # per-tile drop scalar broadcast over one (8, 128) block (the
-            # minimum Mosaic output tile)
-            jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
         ],
         in_specs=[slot_blk] * 9 + [row_blk],
-        out_specs=[
-            slot_blk, slot_blk, slot_blk, row_blk,
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[slot_blk, slot_blk, slot_blk, row_blk, row_blk],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs, dead)
-    return opx, opy, ova, cnt, jnp.sum(drop[::8, 0])
+    return opx, opy, ova, cnt, drop

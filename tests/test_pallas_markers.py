@@ -72,8 +72,11 @@ def test_pallas_rebin_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(count), np.asarray(ref.marker_count)
     )
-    # both paths count the same capacity drops
-    assert int(dropped) == int(ref.dropped_markers) - int(st.dropped_markers)
+    # both paths count the same capacity drops (kernel emits a per-cell
+    # plane so sharded callers can crop halo cells)
+    assert int(dropped.sum()) == (
+        int(ref.dropped_markers) - int(st.dropped_markers)
+    )
     rpx, rpy, rva = slot_views(cfg, ref)
     np.testing.assert_array_equal(np.asarray(ova) != 0, np.asarray(rva))
     m = np.asarray(rva)
@@ -117,7 +120,9 @@ def test_fused_marker_pass_matches_two_kernel_path():
     np.testing.assert_array_equal(
         np.asarray(count), np.asarray(ref.marker_count)
     )
-    assert int(dropped) == int(ref.dropped_markers) - int(st.dropped_markers)
+    assert int(dropped.sum()) == (
+        int(ref.dropped_markers) - int(st.dropped_markers)
+    )
     rpx, rpy, rva = slot_views(cfg, ref)
     m = np.asarray(rva)
     np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],
