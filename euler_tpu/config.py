@@ -46,7 +46,24 @@ class SolverConfig:
     mg_min_size: int = 32
     mg_pre_smooth: int = 1
     mg_post_smooth: int = 1
-    mg_coarse_iters: int = 8
+    # Coarsest-level solve budget: Chebyshev degree (mg_smoother="cheby")
+    # or forward+reverse RB-GS sweep count ("rbgs").
+    mg_coarse_iters: int = 12
+    # Smoother for the galerkin scheme: "cheby" (degree-mg_cheby_degree
+    # Chebyshev on [lmax/ratio, lmax]; one operator apply per degree, no
+    # colour masks, symmetric by construction) or "rbgs" (red-black
+    # Gauss-Seidel with symmetric colour order).  Measured (PERF.md):
+    # cheby d2/r4 + deg-12 coarsest converges PCG in 10-13 iterations on
+    # 512² free-surface systems vs 15 for rbgs V(1,1) + 32-lap coarsest,
+    # at fewer (and larger) vector ops per cycle.
+    mg_smoother: str = "cheby"
+    mg_cheby_degree: int = 2
+    mg_cheby_ratio: float = 4.0
+    mg_coarse_ratio: float = 100.0
+    # W-recursion depth: levels >= mg_w_depth recurse once (truncated W).
+    # The tiny levels' extra visits cost kernel latency without reducing
+    # the iteration count (measured).
+    mg_w_depth: int = 3
     # Coarse-operator construction:
     #   "rediscretize" — coarsen the masks, rebuild the 5-point operator
     #                    (loses free-surface Dirichlet geometry on coarse

@@ -233,12 +233,22 @@ class EdgeLevel(NamedTuple):
     n: jnp.ndarray      # north coupling
     inv_c: jnp.ndarray  # 1/c where c > 0 else 0
     active: jnp.ndarray  # bool (kept for tests/introspection)
+    lmax: jnp.ndarray   # 0-d Gershgorin bound max(c + |row off-diags|)
 
 
 def _edge_level(c, e, n, active):
     pos = c > 1e-12
     inv_c = jnp.where(active & pos, 1.0, 0.0) / jnp.where(pos, c, 1.0)
-    return EdgeLevel(jnp.where(active, c, 0), e, n, inv_c, active)
+    c = jnp.where(active, c, 0)
+    # Gershgorin row bound: off-diags are <= 0, so |row sum| is
+    # -(e + w + n + s).  NOT the static 8*2^l one might expect: blocks
+    # whose fluid cells are only diagonally adjacent lose the intra-block
+    # couplings but keep their diagonals, pushing the bound toward
+    # 4x/level (measured on random speckle masks); Chebyshev with an
+    # UNDER-estimated lmax diverges, so the true bound is computed here.
+    offmag = -(e + shift_left(e) + n + shift_down(n))
+    lmax = jnp.maximum(jnp.max(jnp.where(active, c + offmag, 0)), 1.0)
+    return EdgeLevel(c, e, n, inv_c, active, lmax)
 
 
 def fine_edge_level(a_diag, fluid, dtype) -> EdgeLevel:
@@ -286,7 +296,11 @@ def build_galerkin_hierarchy(a_diag, fluid, dtype, min_size: int = 32,
             break
         if Y % 2 or X % 2:
             pad = ((0, Y % 2), (0, X % 2))
-            lv = EdgeLevel(*(jnp.pad(f, pad) for f in lv))
+            lv = EdgeLevel(
+                *(jnp.pad(f, pad) for f in
+                  (lv.c, lv.e, lv.n, lv.inv_c, lv.active)),
+                lv.lmax,
+            )
             levels[-1] = lv
         levels.append(coarsen_galerkin(lv))
     return levels
@@ -311,37 +325,120 @@ def smooth_edge(level: EdgeLevel, x, b, iters: int, reverse: bool = False):
     return jax.lax.fori_loop(0, iters, body, x, unroll=2)
 
 
-def cycle_galerkin(levels, b, lvl: int = 0, pre: int = 1, post: int = 1,
-                   coarse_iters: int = 8, w: int = 2):
-    """One multigrid cycle on the Galerkin hierarchy (w=1: V, w=2: W).
+# ---------------------------------------------------------------------------
+# Chebyshev smoothing / coarsest solve.
+#
+# TPU-measured motivation (PERF.md): the in-kernel W-cycle's cost is
+# dominated by latency-bound half-sweeps on the tiny coarse levels (a
+# 32² half-sweep is issue-overhead, not FLOPs).  A Chebyshev iteration
+# needs ONE operator apply per degree (RB-GS needs two per iteration,
+# one per colour) and no colour masks, and as a fixed polynomial in A it
+# is exactly symmetric without the colour-order reversal — so the cycle
+# stays a valid SPD preconditioner by construction.  Measured on 512²
+# free-surface systems: deg-2 smoothing + deg-12 coarsest solve brings
+# PCG to 10-13 iterations (vs 15 with RB-GS V(1,1) + 32-lap coarsest).
+#
+# Eigenvalue bound: each EdgeLevel carries its Gershgorin bound
+# max(c + |row off-diags|), computed at build time.  (A static 8 * 2^l
+# estimate — row sums doubling per level — holds on connected fluid but
+# is VIOLATED on speckled masks, where blocks with only diagonally
+# adjacent fluid cells push the bound toward 4x/level; an under-estimated
+# lmax makes Chebyshev diverge, so the measured bound is used.)
+# ---------------------------------------------------------------------------
 
-    The recursion count applies at every level except directly above the
-    coarsest (a second visit there re-solves the same system).  Padded
-    levels: b is zero-padded on entry and cropped on exit; padded cells
-    are inactive (zero weights), so they stay exactly zero."""
+
+def cheby_coefficients(lmax, degree: int, ratio: float):
+    """Scalar coefficient schedule for the Chebyshev iteration
+    (Golub-Varga three-term recurrence) on [lmax/ratio, lmax].
+
+    Returns (inv_theta, [(c_prev_k, c_r_k)]): d_0 = r_0 / theta, then
+    d_k = c_prev_k * d_{k-1} + c_r_k * r_k.  `lmax` may be a Python
+    float or a traced 0-d array (the per-level Gershgorin bound)."""
+    lmin = lmax / ratio
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    coefs = []
+    for _ in range(degree):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        coefs.append((rho_new * rho, 2.0 * rho_new / delta))
+        rho = rho_new
+    return 1.0 / theta, coefs
+
+
+def cheby_smooth(level: EdgeLevel, x, b, degree: int, ratio: float):
+    """`degree` Chebyshev steps targeting the upper spectrum
+    [lmax/ratio, lmax] from iterate x (degree+1 operator applies)."""
+    inv_theta, coefs = cheby_coefficients(
+        level.lmax.astype(b.dtype), degree, ratio
+    )
+    r = b - apply_edge(level, x)
+    d = r * inv_theta
+    for c_prev, c_r in coefs:
+        x = x + d
+        r = r - apply_edge(level, d)
+        d = c_prev * d + c_r * r
+    return x
+
+
+def cycle_galerkin(levels, b, lvl: int = 0, pre: int = 1, post: int = 1,
+                   coarse_iters: int = 12, w: int = 2,
+                   smoother: str = "cheby", cheby_degree: int = 2,
+                   cheby_ratio: float = 4.0, coarse_ratio: float = 100.0,
+                   w_depth: int = 3):
+    """One multigrid cycle on the Galerkin hierarchy.
+
+    w=2 gives the W-cycle, truncated below `w_depth` (levels >= w_depth
+    recurse once): the extra visits of the TINY levels cost real kernel
+    latency but, measured, do not reduce the PCG iteration count —
+    truncating at depth 3 keeps the full-W count.
+
+    smoother="cheby": degree-`cheby_degree` Chebyshev smoothing and a
+    degree-`coarse_iters` Chebyshev coarsest solve on [lmax/coarse_ratio,
+    lmax]; "rbgs" keeps symmetric red-black Gauss-Seidel (pre/post
+    counts, forward-then-reversed coarsest sweeps).
+
+    Padded levels: b is zero-padded on entry and cropped on exit; padded
+    cells are inactive (zero weights), so they stay exactly zero."""
     level = levels[lvl]
     Yb, Xb = b.shape
     Yl, Xl = level.c.shape
     if (Yb, Xb) != (Yl, Xl):
         b = jnp.pad(b, ((0, Yl - Yb), (0, Xl - Xb)))
+    kw = dict(pre=pre, post=post, coarse_iters=coarse_iters, w=w,
+              smoother=smoother, cheby_degree=cheby_degree,
+              cheby_ratio=cheby_ratio, coarse_ratio=coarse_ratio,
+              w_depth=w_depth)
     if lvl == len(levels) - 1:
-        x = smooth_edge(level, jnp.zeros_like(b), b, coarse_iters)
-        x = smooth_edge(level, x, b, coarse_iters, reverse=True)
+        if smoother == "cheby":
+            x = cheby_smooth(level, jnp.zeros_like(b), b,
+                             coarse_iters, coarse_ratio)
+        else:
+            x = smooth_edge(level, jnp.zeros_like(b), b, coarse_iters)
+            x = smooth_edge(level, x, b, coarse_iters, reverse=True)
+        x = jnp.where(level.active, x, 0)
         return x[:Yb, :Xb]
-    x = smooth_edge(level, jnp.zeros_like(b), b, pre)
-    visits = w if lvl + 1 < len(levels) - 1 else 1
-    Yc, Xc = levels[lvl + 1].c.shape
+    if smoother == "cheby":
+        x = cheby_smooth(level, jnp.zeros_like(b), b,
+                         cheby_degree, cheby_ratio)
+    else:
+        x = smooth_edge(level, jnp.zeros_like(b), b, pre)
+    visits = w if (lvl < w_depth and lvl + 1 < len(levels) - 1) else 1
     for _ in range(visits):
         r = b - apply_edge(level, x)
         rc = r.reshape(Yl // 2, 2, Xl // 2, 2).sum(axis=(1, 3))
-        ec = cycle_galerkin(levels, rc, lvl + 1, pre, post, coarse_iters, w)
+        ec = cycle_galerkin(levels, rc, lvl + 1, **kw)
         # constant prolongation: each fine cell adds its parent's value
         up = jnp.broadcast_to(
             ec[:, None, :, None], (Yl // 2, 2, Xl // 2, 2)
         ).reshape(Yl, Xl)
         x = x + up
-    x = smooth_edge(level, x, b, post, reverse=True)
-    # inv_c = 0 keeps inactive cells zero through smoothing, but the
+    if smoother == "cheby":
+        x = cheby_smooth(level, x, b, cheby_degree, cheby_ratio)
+    else:
+        x = smooth_edge(level, x, b, post, reverse=True)
+    # smoothing keeps inactive cells' iterates at zero, but the
     # prolongation adds parent values everywhere; mask once on exit
     x = jnp.where(level.active, x, 0)
     return x[:Yb, :Xb]
@@ -365,6 +462,11 @@ def make_mg_preconditioner(cfg: SimConfig, solid, fluid, dtype, a_diag=None):
             post=cfg.solver.mg_post_smooth,
             coarse_iters=cfg.solver.mg_coarse_iters,
             w=2 if cfg.solver.mg_cycle == "w" else 1,
+            smoother=cfg.solver.mg_smoother,
+            cheby_degree=cfg.solver.mg_cheby_degree,
+            cheby_ratio=cfg.solver.mg_cheby_ratio,
+            coarse_ratio=cfg.solver.mg_coarse_ratio,
+            w_depth=cfg.solver.mg_w_depth,
         )
     levels = build_hierarchy(solid, fluid, dtype, min_size=cfg.solver.mg_min_size)
     return partial(

@@ -4,39 +4,44 @@ The Jacobi-preconditioned single-launch solver (pcg_kernel.py) honours
 the reference's iteration budget (<=100, tol 1e-6 — main.c:735-736) but
 plain Jacobi-PCG does not CONVERGE within it beyond ~256²: at 1024² the
 residual after 100 iterations is ~27 (bench JSON `post_projection_
-div_inf`).  This kernel runs the ENTIRE MG-PCG solve — every W/V-cycle,
-smoothing sweep, restriction and prolongation — inside one launch, with
+div_inf`).  This kernel runs the ENTIRE MG-PCG solve — every cycle,
+smoothing step, restriction and prolongation — inside one launch, with
 every level's iterate resident in VMEM.
 
 Hierarchy: the Galerkin one (ops/multigrid.py build_galerkin_hierarchy)
 — exact coarse operators A_c = P^T A P for piecewise-constant
 prolongation, which stay 5-POINT in edge-weight form (c, e, n planes).
-This replaces the round-2 mask-coarsened rediscretized hierarchy, whose
-V-cycle rate (~0.65 at 1024²) was boundary-limited: any-fluid mask
-coarsening loses the free-surface Dirichlet geometry.  Measured PCG
-iteration counts to rel 1e-4 on dam-break geometry: 15/15/17 at
-256²/512²/1024² with the W-cycle (level-independent), vs ~90 for the
-old hierarchy at 1024².
+Cycle: truncated W (levels >= mg_w_depth recurse once) with Chebyshev
+smoothing and a Chebyshev coarsest solve — chosen for the kernel cost
+profile: a Chebyshev step is ONE operator apply (red-black needs two,
+one per colour) with no colour masks, the coarse levels' latency-bound
+op count drops ~2x, and the W-truncation removes the tiny levels' extra
+visits that measurably don't buy iterations.  The per-level Gershgorin
+bounds lmax(l) (computed at hierarchy build — see
+ops/multigrid._edge_level on why they must be measured, not statically
+estimated) enter as one (8, 128) VMEM plane; the Chebyshev coefficient
+recurrences run on scalars read from it.  Measured PCG iteration counts
+to rel 1e-4 on free-surface systems: 10-13 at 512², level-independent
+(PERF.md "Solve convergence").
 
 TPU-native transfer formulation (Mosaic supports sublane-dim reshapes
 but no lane-dim reshapes/strided slices — probed):
 
   * constant transfers are BLOCK-ALIGNED (coarse row chunk [rc0, rc1)
-    touches exactly fine rows [2rc0, 2rc1) — no halo rows, unlike the
-    old bilinear pair);
+    touches exactly fine rows [2rc0, 2rc1) — no halo rows);
   * Y (sublane) axis: even/odd row split via reshape([Cc, 2, X]) + sum,
     interleave via stack + reshape;
   * X (lane) axis: a dot with the 1D pair-sum matrix Rx [Xf, Xc]
     (entries 1 at (2j, j) and (2j+1, j)) on the MXU, and its transpose
     for prolongation (lane duplication).
 
-Smoothing is red-black Gauss-Seidel in symmetric colour order (exact for
-5-point operators: colours decouple), identical to ops/multigrid.py's
-smooth_edge, so the cycle is a fixed SPD operator.  Level 0 uses the
-packed a_diag+fluid plane (the PCG matrix, -1 couplings implicit);
-levels >= 1 use the real-valued edge-weight planes, whose couplings are
-zero toward inactive cells — so no masking is needed above level 0, and
-the prolongation into level 0 is masked by the fluid plane once.
+The cycle operator is symmetric by construction (Chebyshev steps are
+fixed polynomials in the symmetric A; transfers are exact adjoints), so
+it is a valid SPD preconditioner for PCG — no colour-order bookkeeping.
+Level 0 uses the packed a_diag+fluid plane (the PCG matrix, -1
+couplings implicit, iterates kept zero outside the fluid); levels >= 1
+use the real-valued edge-weight planes, whose couplings are zero toward
+inactive cells, so junk left by the (unmasked) prolongation is inert.
 """
 
 from __future__ import annotations
@@ -50,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from euler_tpu.config import SimConfig
+from euler_tpu.ops.multigrid import cheby_coefficients
 from euler_tpu.ops.pallas.pcg_kernel import _VMEM_BUDGET, _chunk_rows
 
 
@@ -75,32 +81,36 @@ def _pair_matrix(Xf: int, Xc: int) -> np.ndarray:
 
 
 def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
-               pre: int, post: int, coarse_iters: int, w: int,
+               cheby_degree: int, cheby_ratio: float,
+               coarse_degree: int, coarse_ratio: float,
+               w: int, w_depth: int,
                b_ref, *refs):
-    """refs layout: packed0, [c, e, n, inv][1..L-1] (4 planes per coarse
-    level), Rx[0..L-2], RxT[0..L-2], p_ref, iters_ref, resid_ref,
-    r_ref(aliased b), z_ref, s_ref, as_ref, x[1..L-1], bl[1..L-1]."""
+    """refs layout: lmax_plane, packed0, [c, e, n][1..L-1] (3 planes per
+    coarse level), Rx[0..L-2], RxT[0..L-2], p_ref, iters_ref, resid_ref,
+    r_ref(aliased b), z_ref, cd_ref, cr_ref, s_ref, as_ref,
+    x[1..L-1], bl[1..L-1], d[1..L-1], rr[1..L-1]."""
     L = len(shapes)
     f32 = jnp.float32
-    packed0 = refs[0]
-    coef = [None] + [refs[1 + 4 * l: 5 + 4 * l] for l in range(L - 1)]
-    o = 1 + 4 * (L - 1)
+    lmax_ref = refs[0]
+    packed0 = refs[1]
+    coef = [None] + [refs[2 + 3 * l: 5 + 3 * l] for l in range(L - 1)]
+    o = 2 + 3 * (L - 1)
     Rx = list(refs[o:o + L - 1])
     RxT = list(refs[o + L - 1:o + 2 * (L - 1)])
     o += 2 * (L - 1)
-    p_ref, iters_ref, resid_ref, r_ref, z_ref, s_ref, as_ref = refs[o:o + 7]
-    o += 7
+    (p_ref, iters_ref, resid_ref, r_ref, z_ref, cd_ref, cr_ref,
+     s_ref, as_ref) = refs[o:o + 9]
+    o += 9
     x_l = [z_ref] + list(refs[o:o + L - 1])
     b_l = [r_ref] + list(refs[o + L - 1:o + 2 * (L - 1)])
+    d_l = [cd_ref] + list(refs[o + 2 * (L - 1):o + 3 * (L - 1)])
+    rr_l = [cr_ref] + list(refs[o + 3 * (L - 1):o + 4 * (L - 1)])
 
     def decode0(r0, r1):
         pk = packed0[r0:r1]
         fl = jnp.where(pk >= 8.0, 1.0, 0.0).astype(f32)
         a = pk - 8.0 * fl
-        # multigrid inv_diag convention: 0 on a == 0 cells (fully
-        # enclosed), not the Jacobi identity fallback
-        invd = jnp.where(a > 0, fl / jnp.maximum(a, 1.0), 0.0)
-        return fl, a, invd
+        return fl, a
 
     def rows(ref, r0, r1, l):
         """ref rows [r0, r1) with zero fill beyond [0, Yl)."""
@@ -122,18 +132,19 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         return jnp.concatenate(
             [a[:, 1:], jnp.zeros((a.shape[0], 1), f32)], axis=1)
 
-    def lap_rows(l, x_ref_l, r0, r1):
-        """A x on rows [r0, r1).  Level 0: the packed 5-point form
-        (a*x - neighbour sum), valid because level-0 iterates are zero
-        outside the fluid; levels >= 1: the edge-weight form, whose
-        couplings are zero toward inactive cells (junk-immune)."""
+    def apply_rows(l, x_ref_l, r0, r1):
+        """A x on rows [r0, r1), MASKED (zero at inactive/non-fluid
+        rows).  Level 0: packed 5-point form, masked by the fluid plane
+        (valid because level-0 iterates are zero outside the fluid);
+        levels >= 1: the edge-weight form, intrinsically masked (all
+        coefficients are zero at and toward inactive cells)."""
         x = x_ref_l[r0:r1]
         if l == 0:
-            _, a, _ = decode0(r0, r1)
+            fl, a = decode0(r0, r1)
             up = rows(x_ref_l, r0 + 1, r1 + 1, 0)
             dn = rows(x_ref_l, r0 - 1, r1 - 1, 0)
-            return a * x - (shl(x) + shr(x) + up + dn)
-        c_ref, e_ref, n_ref, _ = coef[l]
+            return fl * (a * x - (shl(x) + shr(x) + up + dn))
+        c_ref, e_ref, n_ref = coef[l]
         c = c_ref[r0:r1]
         e = e_ref[r0:r1]
         n = n_ref[r0:r1]
@@ -144,43 +155,50 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         return (c * x + e * shr(x) + shl(e * x)
                 + n * x_up + n_dn * x_dn)
 
-    def inv_rows(l, r0, r1):
-        if l == 0:
-            _, _, invd = decode0(r0, r1)
-            return invd
-        return coef[l][3][r0:r1]
-
-    def red_mask(l, r0, r1):
-        Yl, Xl = shapes[l]
-        yy = jax.lax.broadcasted_iota(jnp.int32, (r1 - r0, Xl), 0) + r0
-        xx = jax.lax.broadcasted_iota(jnp.int32, (r1 - r0, Xl), 1)
-        return ((yy + xx) & 1) == 0
-
-    def half_sweep(l, want_red: bool):
-        """x += color * inv * (b - A x), chunked in place (safe: for a
-        5-point operator a red update reads only black neighbours)."""
+    def for_chunks(l, fn):
         Yl, _ = shapes[l]
         C = chunks[l]
         for c in range(Yl // C):
-            r0, r1 = c * C, (c + 1) * C
-            invd = inv_rows(l, r0, r1)
-            res = b_l[l][r0:r1] - lap_rows(l, x_l[l], r0, r1)
-            upd = invd * res
-            color = red_mask(l, r0, r1)
-            if not want_red:
-                color = ~color
-            x_l[l][r0:r1] = x_l[l][r0:r1] + jnp.where(color, upd, 0.0)
+            fn(c * C, (c + 1) * C)
 
-    def smooth(l, iters: int, reverse: bool):
-        for _ in range(iters):
-            half_sweep(l, want_red=not reverse)
-            half_sweep(l, want_red=reverse)
+    def cheby(l, degree: int, ratio: float, from_zero: bool):
+        """x_l[l] += Chebyshev correction: `degree` steps on
+        [lmax/ratio, lmax] (scalar coefficients from the per-level
+        Gershgorin bound).  from_zero skips the initial residual apply
+        (A 0 = 0) and the zero-fill."""
+        lmax_l = jnp.max(lmax_ref[l:l + 1])
+        inv_theta, coefs = cheby_coefficients(lmax_l, degree, ratio)
+        if from_zero:
+            def init(r0, r1):
+                x_l[l][r0:r1] = jnp.zeros_like(b_l[l][r0:r1])
+                rr_l[l][r0:r1] = b_l[l][r0:r1]
+                d_l[l][r0:r1] = b_l[l][r0:r1] * inv_theta
+            for_chunks(l, init)
+        else:
+            def init(r0, r1):
+                rr_l[l][r0:r1] = b_l[l][r0:r1] - apply_rows(l, x_l[l], r0, r1)
+            for_chunks(l, init)
 
-    def zero_level(l):
-        Yl, Xl = shapes[l]
-        C = chunks[l]
-        for c in range(Yl // C):
-            x_l[l][c * C:(c + 1) * C] = jnp.zeros((C, Xl), f32)
+            def init_d(r0, r1):
+                d_l[l][r0:r1] = rr_l[l][r0:r1] * inv_theta
+            for_chunks(l, init_d)
+        for c_prev, c_r in coefs:
+
+            def xstep(r0, r1):
+                x_l[l][r0:r1] = x_l[l][r0:r1] + d_l[l][r0:r1]
+            for_chunks(l, xstep)
+
+            def rstep(r0, r1):
+                rr_l[l][r0:r1] = (
+                    rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
+                )
+            for_chunks(l, rstep)
+
+            def dstep(r0, r1):
+                d_l[l][r0:r1] = (
+                    c_prev * d_l[l][r0:r1] + c_r * rr_l[l][r0:r1]
+                )
+            for_chunks(l, dstep)
 
     def restrict(l):
         """b_{l+1} = R(b_l - A_l x_l): block-aligned 2x2 sums (coarse
@@ -190,10 +208,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         for c in range(Yc // Cc):
             rc0, rc1 = c * Cc, (c + 1) * Cc
             fr0, fr1 = 2 * rc0, 2 * rc1
-            res = b_l[l][fr0:fr1] - lap_rows(l, x_l[l], fr0, fr1)
-            if l == 0:
-                fl, _, _ = decode0(fr0, fr1)
-                res = fl * res
+            res = b_l[l][fr0:fr1] - apply_rows(l, x_l[l], fr0, fr1)
             q = res.reshape(Cc, 2, shapes[l][1])
             yt = q[:, 0, :] + q[:, 1, :]
             b_l[l + 1][rc0:rc1] = jnp.dot(
@@ -213,27 +228,24 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             out = jnp.stack([xe, xe], axis=1).reshape(2 * Cc, shapes[l][1])
             fr0, fr1 = 2 * rc0, 2 * rc1
             if l == 0:
-                flf, _, _ = decode0(fr0, fr1)
+                flf, _ = decode0(fr0, fr1)
                 out = flf * out
             x_l[l][fr0:fr1] = x_l[l][fr0:fr1] + out
 
     def cycle(l):
         """z = M^{-1} r at l = 0 (x_0 accumulates into z_ref; b_0 is
-        r_ref).  w = 2 gives the W-cycle (two coarse-grid visits per
-        level, except directly above the coarsest)."""
+        r_ref).  Truncated W: levels < w_depth recurse `w` times (except
+        directly above the coarsest)."""
         if l == L - 1:
-            zero_level(l)
-            smooth(l, coarse_iters, reverse=False)
-            smooth(l, coarse_iters, reverse=True)
+            cheby(l, coarse_degree, coarse_ratio, from_zero=True)
             return
-        zero_level(l)
-        smooth(l, pre, reverse=False)
-        visits = w if l + 1 < L - 1 else 1
+        cheby(l, cheby_degree, cheby_ratio, from_zero=True)
+        visits = w if (l < w_depth and l + 1 < L - 1) else 1
         for _ in range(visits):
             restrict(l)
             cycle(l + 1)
             prolong_add(l)
-        smooth(l, post, reverse=True)
+        cheby(l, cheby_degree, cheby_ratio, from_zero=False)
 
     # ---- PCG (stopping rule of main.c:738-767) ----
     Y0, X0 = shapes[0]
@@ -267,8 +279,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         zs = jnp.zeros((), f32)
         for c in range(nchunks0):
             r0, r1 = c * C0, (c + 1) * C0
-            fl, _, _ = decode0(r0, r1)
-            As = fl * lap_rows(0, s_ref, r0, r1)
+            As = apply_rows(0, s_ref, r0, r1)
             as_ref[r0:r1] = As
             zs = zs + jnp.sum(As * s_ref[r0:r1])
         alpha = sigma / jnp.where(zs != 0, zs, 1.0)
@@ -325,7 +336,13 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     packed0 = a_diag.astype(f) * fluid.astype(f) + 8.0 * fluid.astype(f)
     coef_planes = []
     for lv in levels[1:]:
-        coef_planes += [lv.c, lv.e, lv.n, lv.inv_c]
+        coef_planes += [lv.c, lv.e, lv.n]
+    assert L <= 8, "lmax plane holds one row per level"
+    lmax_plane = jnp.broadcast_to(
+        jnp.stack([lv.lmax.astype(f) for lv in levels]
+                  + [jnp.ones((), f)] * (8 - L))[:, None],
+        (8, 128),
+    )
 
     Rx = [jnp.asarray(_pair_matrix(shapes[l][1], shapes[l + 1][1]))
           for l in range(L - 1)]
@@ -335,13 +352,14 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         _mg_kernel, shapes, chunks,
         cfg.solver.max_iterations, float(cfg.solver.tol),
         float(cfg.solver.tol_rel),
-        cfg.solver.mg_pre_smooth, cfg.solver.mg_post_smooth,
-        cfg.solver.mg_coarse_iters,
+        cfg.solver.mg_cheby_degree, float(cfg.solver.mg_cheby_ratio),
+        cfg.solver.mg_coarse_iters, float(cfg.solver.mg_coarse_ratio),
         2 if cfg.solver.mg_cycle == "w" else 1,
+        cfg.solver.mg_w_depth,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_in = 1 + 1 + 4 * (L - 1) + 2 * (L - 1)
+    n_in = 1 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1)
     out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -354,29 +372,34 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         out_specs=[vmem, smem, smem, vmem],
         input_output_aliases={0: 3},  # b buffer becomes the residual
         scratch_shapes=(
-            [pltpu.VMEM((Y, X), f)] * 3  # z, s, As
+            # z, cheby d/r at level 0, s, As
+            [pltpu.VMEM((Y, X), f)] * 5
             + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # x_l
             + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # b_l
+            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # d_l
+            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # rr_l
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(b.astype(f), packed0, *coef_planes, *Rx, *RxT)
+    )(b.astype(f), lmax_plane, packed0, *coef_planes, *Rx, *RxT)
     p, iters, resid, _r = out
     return p, iters[0, 0], resid[0, 0]
 
 
 def mg_pallas_fits(cfg: SimConfig) -> bool:
-    """f32 + mg + galerkin only; every level size must stay even down to
-    min_size (no padding in-kernel) and ~9 fine-plane equivalents must
-    fit (7.5 as before + ~1.7 for the coarse coefficient planes)."""
+    """f32 + mg + galerkin + cheby only; every level size must stay even
+    down to min_size (no padding in-kernel) and ~10.5 fine-plane
+    equivalents must fit (9 fine-level planes + the coarse hierarchy's
+    coefficient and iterate planes)."""
     if not (cfg.solver.preconditioner == "mg"
             and cfg.solver.dtype == "float32"
-            and cfg.solver.mg_scheme == "galerkin"):
+            and cfg.solver.mg_scheme == "galerkin"
+            and cfg.solver.mg_smoother == "cheby"):
         return False
     shapes = _level_shapes(cfg.ny, cfg.nx, cfg.solver.mg_min_size)
     Yl, Xl = shapes[-1]
     if min(Yl, Xl) > cfg.solver.mg_min_size:
         return False  # hit an odd size before reaching the coarsest level
-    return int(cfg.ny * cfg.nx * 4 * 9.2) <= _VMEM_BUDGET
+    return int(cfg.ny * cfg.nx * 4 * 10.5) <= _VMEM_BUDGET
