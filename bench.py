@@ -65,6 +65,20 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA/Mosaic compilation cache: the one-launch solver
+    # kernels take minutes of compile at 1024²+ (the in-kernel MG ~2 min)
+    # — pay it once per config, not per process.
+    import os as _os
+
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/euler_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the knobs
 
     from euler_tpu.config import SimConfig, SolverConfig
     from euler_tpu.core.presets import dam_break

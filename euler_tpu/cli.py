@@ -17,6 +17,7 @@ never blocks on terminal I/O (BASELINE.json north star).
 from __future__ import annotations
 
 import argparse
+import os
 import queue
 import sys
 import threading
@@ -249,10 +250,22 @@ def run_interactive(args):
 
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the fused solver kernels compile in
+    # minutes at large grids; cache across runs (JAX_COMPILATION_CACHE_DIR
+    # overrides)
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/euler_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     if args.sherlock:
         from euler_tpu.utils.diagnostics import enable_fpmath_asserts
 

@@ -16,11 +16,13 @@ smoothing and a Chebyshev coarsest solve — chosen for the kernel cost
 profile: a Chebyshev step is ONE operator apply (red-black needs two,
 one per colour) with no colour masks, the coarse levels' latency-bound
 op count drops ~2x, and the W-truncation removes the tiny levels' extra
-visits that measurably don't buy iterations.  The per-level Gershgorin
-bounds lmax(l) (computed at hierarchy build — see
-ops/multigrid._edge_level on why they must be measured, not statically
-estimated) enter as one (8, 128) VMEM plane; the Chebyshev coefficient
-recurrences run on scalars read from it.  Measured PCG iteration counts
+visits that measurably don't buy iterations.  The Chebyshev coefficient
+schedules are pure functions of the per-level Gershgorin bounds lmax(l)
+(computed at hierarchy build — see ops/multigrid._edge_level on why
+they must be measured, not statically estimated), so they are computed
+ONCE outside the kernel and enter as one SMEM row per level — the
+in-kernel recurrences they replace (~34 cheby calls x 10-40 scalar ops
+per cycle) were a dominant serial-latency cost.  Measured PCG iteration counts
 to rel 1e-4 on free-surface systems: 10-13 at 512², level-independent
 (PERF.md "Solve convergence").
 
@@ -85,13 +87,13 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
                coarse_degree: int, coarse_ratio: float,
                w: int, w_depth: int,
                b_ref, *refs):
-    """refs layout: lmax_plane, packed0, [c, e, n][1..L-1] (3 planes per
-    coarse level), Rx[0..L-2], RxT[0..L-2], p_ref, iters_ref, resid_ref,
-    r_ref(aliased b), z_ref, cd_ref, cr_ref, s_ref, as_ref,
-    x[1..L-1], bl[1..L-1], d[1..L-1], rr[1..L-1]."""
+    """refs layout: coefs (SMEM [L, 1+2*max_deg]), packed0, [c, e, n]
+    [1..L-1] (3 planes per coarse level), Rx[0..L-2], RxT[0..L-2], p_ref,
+    iters_ref, resid_ref, r_ref(aliased b), z_ref, cd_ref, cr_ref,
+    s_ref, as_ref, x[1..L-1], bl[1..L-1], d[1..L-1], rr[1..L-1]."""
     L = len(shapes)
     f32 = jnp.float32
-    lmax_ref = refs[0]
+    coefs_ref = refs[0]
     packed0 = refs[1]
     coef = [None] + [refs[2 + 3 * l: 5 + 3 * l] for l in range(L - 1)]
     o = 2 + 3 * (L - 1)
@@ -165,40 +167,61 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         """x_l[l] += Chebyshev correction: `degree` steps on
         [lmax/ratio, lmax] (scalar coefficients from the per-level
         Gershgorin bound).  from_zero skips the initial residual apply
-        (A 0 = 0) and the zero-fill."""
-        lmax_l = jnp.max(lmax_ref[l:l + 1])
-        inv_theta, coefs = cheby_coefficients(lmax_l, degree, ratio)
+        (A 0 = 0) and the zero-fill.
+
+        Pass structure is fused for compile time and VMEM traffic: the
+        init writes (x/rr/d) share one sweep, and each degree step is ONE
+        sweep on single-chunk levels (d read before its write; the A d
+        halo rows are zero-filled beyond the level, so no hazard) or two
+        on multi-chunk levels (x/rr first — A d reads d rows across chunk
+        boundaries, so d's write must wait for the full sweep).
+
+        Coefficients are NOT computed here: the Golub-Varga recurrences
+        are pure functions of the per-level Gershgorin bound, known
+        before the solve — recomputing them per cheby call (~34 calls x
+        10-40 scalar ops per cycle) measured as a dominant serial-latency
+        cost.  They arrive precomputed in SMEM, one row per level:
+        [inv_theta, c_prev_0, c_r_0, c_prev_1, ...]."""
+        del ratio  # schedule baked into the SMEM row
+        inv_theta = coefs_ref[l, 0]
+        coefs = [(coefs_ref[l, 1 + 2 * k], coefs_ref[l, 2 + 2 * k])
+                 for k in range(degree)]
+        single = shapes[l][0] == chunks[l]
         if from_zero:
             def init(r0, r1):
-                x_l[l][r0:r1] = jnp.zeros_like(b_l[l][r0:r1])
-                rr_l[l][r0:r1] = b_l[l][r0:r1]
-                d_l[l][r0:r1] = b_l[l][r0:r1] * inv_theta
+                bb = b_l[l][r0:r1]
+                x_l[l][r0:r1] = jnp.zeros_like(bb)
+                rr_l[l][r0:r1] = bb
+                d_l[l][r0:r1] = bb * inv_theta
             for_chunks(l, init)
         else:
             def init(r0, r1):
-                rr_l[l][r0:r1] = b_l[l][r0:r1] - apply_rows(l, x_l[l], r0, r1)
+                rr = b_l[l][r0:r1] - apply_rows(l, x_l[l], r0, r1)
+                rr_l[l][r0:r1] = rr
+                d_l[l][r0:r1] = rr * inv_theta
             for_chunks(l, init)
-
-            def init_d(r0, r1):
-                d_l[l][r0:r1] = rr_l[l][r0:r1] * inv_theta
-            for_chunks(l, init_d)
         for c_prev, c_r in coefs:
+            if single:
+                def step(r0, r1, c_prev=c_prev, c_r=c_r):
+                    d = d_l[l][r0:r1]
+                    x_l[l][r0:r1] = x_l[l][r0:r1] + d
+                    rr = rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
+                    rr_l[l][r0:r1] = rr
+                    d_l[l][r0:r1] = c_prev * d + c_r * rr
+                for_chunks(l, step)
+            else:
+                def xr(r0, r1):
+                    x_l[l][r0:r1] = x_l[l][r0:r1] + d_l[l][r0:r1]
+                    rr_l[l][r0:r1] = (
+                        rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
+                    )
+                for_chunks(l, xr)
 
-            def xstep(r0, r1):
-                x_l[l][r0:r1] = x_l[l][r0:r1] + d_l[l][r0:r1]
-            for_chunks(l, xstep)
-
-            def rstep(r0, r1):
-                rr_l[l][r0:r1] = (
-                    rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
-                )
-            for_chunks(l, rstep)
-
-            def dstep(r0, r1):
-                d_l[l][r0:r1] = (
-                    c_prev * d_l[l][r0:r1] + c_r * rr_l[l][r0:r1]
-                )
-            for_chunks(l, dstep)
+                def dstep(r0, r1, c_prev=c_prev, c_r=c_r):
+                    d_l[l][r0:r1] = (
+                        c_prev * d_l[l][r0:r1] + c_r * rr_l[l][r0:r1]
+                    )
+                for_chunks(l, dstep)
 
     def restrict(l):
         """b_{l+1} = R(b_l - A_l x_l): block-aligned 2x2 sums (coarse
@@ -241,10 +264,22 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             return
         cheby(l, cheby_degree, cheby_ratio, from_zero=True)
         visits = w if (l < w_depth and l + 1 < L - 1) else 1
-        for _ in range(visits):
+
+        def visit(_i, c):
             restrict(l)
             cycle(l + 1)
             prolong_add(l)
+            return c
+
+        if visits == 1:
+            visit(0, None)
+        else:
+            # fori rather than a Python loop: the unrolled W-recursion
+            # multiplies every sub-level's emitted code by its visit
+            # count (1, 2, 4, 8 ... = 31 level-visits at 1024²), which
+            # blew Mosaic's compile past 9 minutes; looping the visits
+            # emits each level's body once
+            jax.lax.fori_loop(0, visits, visit, None)
         cheby(l, cheby_degree, cheby_ratio, from_zero=False)
 
     # ---- PCG (stopping rule of main.c:738-767) ----
@@ -337,12 +372,25 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     coef_planes = []
     for lv in levels[1:]:
         coef_planes += [lv.c, lv.e, lv.n]
-    assert L <= 8, "lmax plane holds one row per level"
-    lmax_plane = jnp.broadcast_to(
-        jnp.stack([lv.lmax.astype(f) for lv in levels]
-                  + [jnp.ones((), f)] * (8 - L))[:, None],
-        (8, 128),
-    )
+    # Chebyshev schedules, precomputed OUTSIDE the kernel (pure functions
+    # of each level's Gershgorin bound): one SMEM row per level,
+    # [inv_theta, c_prev_0, c_r_0, c_prev_1, c_r_1, ...].  The coarsest
+    # row carries the coarse-solve schedule.
+    deg_s = cfg.solver.mg_cheby_degree
+    deg_c = cfg.solver.mg_coarse_iters
+    ncoef = 1 + 2 * max(deg_s, deg_c)
+    rows = []
+    for l, lv in enumerate(levels):
+        if l == L - 1:
+            it, cf = cheby_coefficients(
+                lv.lmax.astype(f), deg_c, float(cfg.solver.mg_coarse_ratio))
+        else:
+            it, cf = cheby_coefficients(
+                lv.lmax.astype(f), deg_s, float(cfg.solver.mg_cheby_ratio))
+        vals = [it] + [v for pair in cf for v in pair]
+        vals += [jnp.zeros((), f)] * (ncoef - len(vals))
+        rows.append(jnp.stack([jnp.asarray(v, f) for v in vals]))
+    coef_rows = jnp.stack(rows)  # [L, ncoef] f32, SMEM
 
     Rx = [jnp.asarray(_pair_matrix(shapes[l][1], shapes[l + 1][1]))
           for l in range(L - 1)]
@@ -360,6 +408,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     n_in = 1 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1)
+    in_specs = [vmem, smem] + [vmem] * (n_in - 2)
     out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -368,7 +417,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
             jax.ShapeDtypeStruct((1, 1), f),          # resid
             jax.ShapeDtypeStruct((Y, X), f),          # r (aliases b)
         ],
-        in_specs=[vmem] * n_in,
+        in_specs=in_specs,
         out_specs=[vmem, smem, smem, vmem],
         input_output_aliases={0: 3},  # b buffer becomes the residual
         scratch_shapes=(
@@ -383,7 +432,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(b.astype(f), lmax_plane, packed0, *coef_planes, *Rx, *RxT)
+    )(b.astype(f), coef_rows, packed0, *coef_planes, *Rx, *RxT)
     p, iters, resid, _r = out
     return p, iters[0, 0], resid[0, 0]
 
