@@ -112,6 +112,57 @@ def _inf_norm(r):
     return jnp.max(jnp.abs(r))
 
 
+def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
+    """The PCG recurrence of main.c:738-767, parameterised over its
+    communication primitives so single-device and domain-decomposed
+    solvers share ONE body (parallel/halo.py plugs in psum/pmax
+    reductions and a halo-exchanging apply; everything here — break
+    placement, all_zero early-out, tol_rel stopping — is common).
+
+    Returns (p, iterations, residual)."""
+    sdt = b.dtype
+    max_iters = cfg.solver.max_iterations
+    dot = _masked_dot if dot is None else dot
+    inf_norm = _inf_norm if inf_norm is None else inf_norm
+
+    r = b
+    z = precon(r)
+    s = z
+    sigma = dot(z, r)
+    p = jnp.zeros_like(b)
+    b_norm = inf_norm(r)
+    # ||r|| <= max(tol, tol_rel * ||b||)  (tol_rel = 0 -> reference rule)
+    tol = jnp.maximum(
+        jnp.asarray(cfg.solver.tol, sdt),
+        jnp.asarray(cfg.solver.tol_rel, sdt) * b_norm,
+    )
+    # all_zero early-out (main.c:742): an exactly-zero RHS skips the loop.
+    nonzero = b_norm != 0
+
+    def cond(carry):
+        p, r, s, sigma, i, done = carry
+        return (~done) & (i < max_iters)
+
+    def body(carry):
+        p, r, s, sigma, i, done = carry
+        As = apply_fn(s)
+        zs = dot(As, s)
+        alpha = sigma / jnp.where(zs != 0, zs, 1)
+        p = p + alpha * s
+        r = r - alpha * As
+        conv = inf_norm(r) <= tol
+        z = precon(r)
+        sigma_new = dot(z, r)
+        beta = sigma_new / jnp.where(sigma != 0, sigma, 1)
+        s = z + beta * s
+        return (p, r, s, sigma_new, i + 1, conv)
+
+    p, r, s, sigma, iters, done = jax.lax.while_loop(
+        cond, body, (p, r, s, sigma, jnp.int32(0), ~nonzero)
+    )
+    return p, iters, inf_norm(r)
+
+
 def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
     """PCG for A p = b (main.c:738-767).  Returns (p, iterations, resid)."""
     if cfg.solver.use_pallas:
@@ -138,47 +189,8 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
             # beyond-VMEM grids: HBM-streamed single-launch solve
             return solve_pressure_stream(cfg, b, a_diag, fluid)
 
-    sdt = b.dtype
-    max_iters = cfg.solver.max_iterations
-
-    precon = _make_preconditioner(cfg, a_diag, fluid, solid, sdt)
-
-    r = b
-    z = precon(r)
-    s = z
-    sigma = _masked_dot(z, r)
-    p = jnp.zeros_like(b)
-    b_norm = _inf_norm(r)
-    # ||r|| <= max(tol, tol_rel * ||b||)  (tol_rel = 0 -> reference rule)
-    tol = jnp.maximum(
-        jnp.asarray(cfg.solver.tol, sdt),
-        jnp.asarray(cfg.solver.tol_rel, sdt) * b_norm,
-    )
-    # all_zero early-out (main.c:742): an exactly-zero RHS skips the loop.
-    nonzero = b_norm != 0
-
-    def cond(carry):
-        p, r, s, sigma, i, done = carry
-        return (~done) & (i < max_iters)
-
-    def body(carry):
-        p, r, s, sigma, i, done = carry
-        As = apply_a(a_diag, fluid, s)
-        zs = _masked_dot(As, s)
-        alpha = sigma / jnp.where(zs != 0, zs, 1)
-        p = p + alpha * s
-        r = r - alpha * As
-        conv = _inf_norm(r) <= tol
-        z = precon(r)
-        sigma_new = _masked_dot(z, r)
-        beta = sigma_new / jnp.where(sigma != 0, sigma, 1)
-        s = z + beta * s
-        return (p, r, s, sigma_new, i + 1, conv)
-
-    p, r, s, sigma, iters, done = jax.lax.while_loop(
-        cond, body, (p, r, s, sigma, jnp.int32(0), ~nonzero)
-    )
-    return p, iters, _inf_norm(r)
+    precon = _make_preconditioner(cfg, a_diag, fluid, solid, b.dtype)
+    return pcg_loop(cfg, b, lambda s: apply_a(a_diag, fluid, s), precon)
 
 
 def project(cfg: SimConfig, dt, u, v, fluid, solid):

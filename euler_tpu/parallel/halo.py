@@ -86,10 +86,16 @@ def _apply_a_local(a_diag, fluid, s, axis_names):
 
 
 def _pcg_sharded(cfg: SimConfig, axis_names, b, a_diag, fluid):
-    """Jacobi-PCG with psum reductions, one shard per device."""
+    """Jacobi-PCG, one shard per device: ops/project.pcg_loop (the ONE
+    PCG body — break placement, all_zero early-out, tol_rel stopping)
+    with psum/pmax reductions and the halo-exchanging local apply
+    plugged in.  The jacobi preconditioner is communication-free
+    (diagonal); the mg preconditioner is served by the GSPMD spatial
+    path (parallel/spatial.py), where XLA partitions the multigrid's
+    shifts/reductions automatically."""
+    from euler_tpu.ops.project import pcg_loop
+
     sdt = b.dtype
-    tol = jnp.asarray(cfg.solver.tol, sdt)
-    max_iters = cfg.solver.max_iterations
     psum = partial(jax.lax.psum, axis_name=axis_names)
     pmax = partial(jax.lax.pmax, axis_name=axis_names)
 
@@ -98,39 +104,12 @@ def _pcg_sharded(cfg: SimConfig, axis_names, b, a_diag, fluid):
         z = r / jnp.where(d > 0, d, 1)
         return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
 
-    def dot(x, y):
-        return psum(jnp.sum(x * y))
-
-    def inf_norm(r):
-        return pmax(jnp.max(jnp.abs(r)))
-
-    r = b
-    z = precon(r)
-    s = z
-    sigma = dot(z, r)
-    p = jnp.zeros_like(b)
-    nonzero = inf_norm(r) != 0
-
-    def cond(c):
-        _, _, _, _, i, done = c
-        return (~done) & (i < max_iters)
-
-    def body(c):
-        p, r, s, sigma, i, done = c
-        As = _apply_a_local(a_diag, fluid, s, axis_names)
-        zs = dot(As, s)
-        alpha = sigma / jnp.where(zs != 0, zs, 1)
-        p = p + alpha * s
-        r = r - alpha * As
-        conv = inf_norm(r) <= tol
-        z = precon(r)
-        sigma_new = dot(z, r)
-        beta = sigma_new / jnp.where(sigma != 0, sigma, 1)
-        s = z + beta * s
-        return (p, r, s, sigma_new, i + 1, conv)
-
-    p, r, *_ = jax.lax.while_loop(
-        cond, body, (p, r, s, sigma, jnp.int32(0), ~nonzero)
+    p, _iters, _resid = pcg_loop(
+        cfg, b,
+        lambda s: _apply_a_local(a_diag, fluid, s, axis_names),
+        precon,
+        dot=lambda x, y: psum(jnp.sum(x * y)),
+        inf_norm=lambda r: pmax(jnp.max(jnp.abs(r))),
     )
     return p
 
