@@ -267,8 +267,9 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
             alive=alive,
             prev_marker_count=state.marker_count,
             marker_count=count,
-            alive_count=jnp.sum(count),
-            dropped_markers=state.dropped_markers + jnp.sum(dropped),
+            alive_count=jnp.sum(count, dtype=jnp.int32),
+            dropped_markers=state.dropped_markers
+            + jnp.sum(dropped, dtype=jnp.int32),
         )
 
     ncx = jnp.floor(px * inv_h).astype(jnp.int32)
@@ -331,7 +332,7 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
         alive=alive,
         prev_marker_count=state.marker_count,
         marker_count=count,
-        alive_count=jnp.sum(count),
+        alive_count=jnp.sum(count, dtype=jnp.int32),
         dropped_markers=state.dropped_markers + dropped,
     )
 
@@ -361,26 +362,36 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             cfg, state.u, state.v, state.fluid, scn.solid, slots, dt,
             state.marker_count, dead=dead,
         )
-        if defer_alive:
-            alive = state.alive  # stale; caller re-derives from count
-        else:
-            # front-compaction makes validity derivable: slot k live iff
-            # k < count (the kernel neither reads nor writes a valid plane)
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0)
-                < count[None]
-            )
-            alive = valid if state.alive.ndim == 3 else valid.reshape(-1)
-        return state.replace(
-            markers=oslots.reshape(state.markers.shape),
-            alive=alive,
-            prev_marker_count=state.marker_count,
-            marker_count=count,
-            alive_count=jnp.sum(count),
-            dropped_markers=state.dropped_markers + jnp.sum(dropped),
-        )
+        return finish_marker_pass(cfg, state, oslots, count, dropped,
+                                  defer_alive)
     state = advect_markers_slots(cfg, scn, state, dt)
     return refresh_marker_counts_slots(cfg, scn, state)
+
+
+def finish_marker_pass(cfg: SimConfig, state: FluidState, oslots, count,
+                       dropped, defer_alive: bool):
+    """Assemble the post-march/re-bin state from the fused kernel's
+    outputs (shared by the single-chip and shard_map'd kernel paths)."""
+    K, Y, X = cfg.slots_per_cell, cfg.ny, cfg.nx
+    if defer_alive:
+        alive = state.alive  # stale; caller re-derives from count
+    else:
+        # front-compaction makes validity derivable: slot k live iff
+        # k < count (the kernel neither reads nor writes a valid plane)
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, Y, X), 0)
+            < count[None]
+        )
+        alive = valid if state.alive.ndim == 3 else valid.reshape(-1)
+    return state.replace(
+        markers=oslots.reshape(state.markers.shape),
+        alive=alive,
+        prev_marker_count=state.marker_count,
+        marker_count=count,
+        alive_count=jnp.sum(count, dtype=jnp.int32),
+        dropped_markers=state.dropped_markers
+        + jnp.sum(dropped, dtype=jnp.int32),
+    )
 
 
 def update_fluid_sources_slots(cfg: SimConfig, scn: Scenario,

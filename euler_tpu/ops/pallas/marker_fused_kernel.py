@@ -87,20 +87,27 @@ def _time_to(p0, p1, vel):
     return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
 
 
-def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
+def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
                   dt_ref, dead_ref, cnt_hbm, grid_hbm, slots_hbm,
                   oslots_ref, ocnt_ref, odrop_ref,
                   csc, gsc, ssc, sems):
     """csc: [3, RW, LW] count windows; gsc: [2*5, RW, LW] grid windows;
     ssc: [2*2K, RW, LW] slot windows; sems: 7 DMA semaphores
-    (0-2 count, 3-4 grid, 5-6 slots)."""
-    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    (0-2 count, 3-4 grid, 5-6 slots).
+
+    clamp_ny: GLOBAL row count for the interpolation clamps — equals
+    cfg.ny single-device; under row-sharding (parallel/pallas_shard)
+    cfg.ny is the halo-padded LOCAL plane height while the clamp bound
+    stays global.  dt_ref lane 1 carries the shard's global row offset
+    (global row index of plane row 0; 0 single-device)."""
+    Y, X, K = clamp_ny, cfg.nx, cfg.slots_per_cell
     TH, TW = TY + 2, TX + 2  # halo tile (marched cells)
     h = np.float32(cfg.side_length)
     inv_h = np.float32(1.0) / h
     f = jnp.float32
     n = pl.program_id(0)
     dt = dt_ref[0, 0]
+    row_off = dt_ref[0, 1].astype(jnp.int32)
 
     def origin(m):
         return (m // nj) * TY, (m % nj) * TX
@@ -193,7 +200,8 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
         so9 = grid9(4)
 
         site_x = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
-        site_y = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + (row0 - 1)
+        site_y = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+                  + (row0 - 1) + row_off)
 
         def solid_at(yy, xx):
             # select in f32 and compare once at the end: Mosaic can't
@@ -290,14 +298,13 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
         jax.lax.fori_loop(0, kmax, do_slot, 0)
 
         # ---- re-binning (refresh_marker_counts_slots, tile interior) ----
-        dst_x = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + col0
-        dst_y = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0) + row0
         dead = dead_ref[:] != 0
 
         # hoist the destination-cell floors out of the 9-view loop: each
         # marched slot's target cell is computed once on the halo tile
         hx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
-        hy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + (row0 - 1)
+        hy = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+              + (row0 - 1) + row_off)
         movx = []
         movy = []
         for k in range(K):
@@ -436,9 +443,11 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt,
     jax.lax.cond(live(n), work_tile, skip_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(0, 8),
+                   static_argnames=("interpret", "clamp_ny"))
 def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
-                       count, interpret: bool = False, *, dead):
+                       count, interpret: bool = False, *, dead,
+                       clamp_ny: int | None = None, row_offset=None):
     """Fused marker pass: march + re-bin in one launch.
 
     slots: [2K, Y, X] — px planes 0..K-1, py planes K..2K-1.  This is a
@@ -457,17 +466,25 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     A plane rather than a scalar so sharded callers can crop halo cells;
     single-chip callers jnp.sum it.
 
+    Sharding (parallel/pallas_shard.py): cfg.ny describes the LOCAL
+    (halo-padded) plane; clamp_ny keeps the interpolation clamps at the
+    GLOBAL row count and row_offset (traced i32) is the global row index
+    of plane row 0.  Both default to the single-device identity.
+
     Batching: the pallas_call takes HBM-space refs (the manual halo
     DMAs), which Pallas cannot auto-batch — a custom_vmap rule maps the
     launch over the batch instead (each launch saturates the chip, so
     sequential launches lose nothing; measured batching is flat anyway,
     PERF.md).
     """
+    if row_offset is None:
+        row_offset = jnp.int32(0)
 
     @jax.custom_batching.custom_vmap
-    def call(u, v, fluid, solid, slots, dt, count, dead):
+    def call(u, v, fluid, solid, slots, dt, count, dead, row_offset):
         return _march_rebin_single(cfg, u, v, fluid, solid, slots, dt,
-                                   count, interpret, dead)
+                                   count, interpret, dead, clamp_ny,
+                                   row_offset)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -481,13 +498,18 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
         return stacked, (True, True)
 
-    return call(u, v, fluid, solid, slots, dt, count, dead)
+    return call(u, v, fluid, solid, slots, dt, count, dead, row_offset)
 
 
 def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
-                        count, interpret, dead):
+                        count, interpret, dead, clamp_ny=None,
+                        row_offset=None):
     Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
     f = slots.dtype
+    if clamp_ny is None:
+        clamp_ny = Y
+    if row_offset is None:
+        row_offset = jnp.int32(0)
 
     # tile sizes: offsets (i*TY, j*TX) must land on (8, 128)-aligned
     # window starts for the DMA slices; otherwise fall back to one tile.
@@ -525,8 +547,11 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     cnt_pad = jnp.pad(count, ((1, RW - TY - 1), (1, LW - TX - 1)))
 
     # (1, 128) VMEM plane rather than an SMEM scalar: the SMEM form
-    # breaks the pallas_call batching rule under vmap
-    dt_arr = jnp.full((1, 128), dt, f)
+    # breaks the pallas_call batching rule under vmap.  Lane 0: dt;
+    # lane 1: the shard's global row offset (f32-exact for any real Y).
+    dt_arr = jnp.full((1, 128), dt, f).at[0, 1].set(
+        jnp.asarray(row_offset, jnp.int32).astype(f)
+    )
 
     tile_spec = pl.BlockSpec((TY, TX), lambda n: (n // nj, n % nj),
                              memory_space=pltpu.VMEM)
@@ -536,7 +561,8 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     # VMEM, where DMA window slices must be (8, 128)-aligned.
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
 
-    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt)
+    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt,
+                               clamp_ny)
     oslots, ocnt, odrop = pl.pallas_call(
         kernel,
         grid=(nt,),

@@ -52,7 +52,7 @@ def _use_fused_projection(cfg: SimConfig) -> bool:
 
 
 def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
-            active=None, defer_alive: bool = False):
+            active=None, defer_alive: bool = False, marker_pass=None):
     """One CFL substep (the body of main.c:851-893), dt already chosen.
 
     Returns (state, msq) where msq = maxsq(u) + maxsq(v) of the projected
@@ -63,7 +63,10 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
     `active` masks source emission (an inactive substep with dt = 0 is
     then a bitwise no-op on the marker store — see step_frame).
     `defer_alive` skips materialising the alive plane per substep
-    (slots + fused kernel only; the caller re-derives it)."""
+    (slots + fused kernel only; the caller re-derives it).
+    `marker_pass` overrides the march+re-bin implementation (same
+    contract as markers_slots.marker_pass_slots) — used by
+    parallel/pallas_shard to substitute the shard_map'd kernel."""
     solid = scn.solid
     _, _, fluid_sources = get_marker_ops(cfg)
 
@@ -73,8 +76,8 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
     if cfg.marker_layout == "slots":
         from euler_tpu.ops.markers_slots import marker_pass_slots
 
-        state = marker_pass_slots(cfg, scn, state, dt,
-                                  defer_alive=defer_alive)
+        do_pass = marker_pass_slots if marker_pass is None else marker_pass
+        state = do_pass(cfg, scn, state, dt, defer_alive=defer_alive)
     else:
         state = get_marker_pass(cfg)(cfg, scn, state, dt)
 
@@ -161,8 +164,9 @@ def _dt_from_msq(cfg: SimConfig, msq, frame_time):
     return jnp.minimum(dt, frame_time).astype(f)
 
 
-def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState) -> FluidState:
-    return _step_frame_impl(cfg, scn, state)[0]
+def step_frame(cfg: SimConfig, scn: Scenario, state: FluidState,
+               marker_pass=None) -> FluidState:
+    return _step_frame_impl(cfg, scn, state, marker_pass)[0]
 
 
 def step_frame_stats(cfg: SimConfig, scn: Scenario, state: FluidState):
@@ -174,7 +178,8 @@ def step_frame_stats(cfg: SimConfig, scn: Scenario, state: FluidState):
     return _step_frame_impl(cfg, scn, state)
 
 
-def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState):
+def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState,
+                     marker_pass=None):
     """One 0.1 s frame: masked fixed-trip substep loop + frame counter.
 
     The CFL maxsq reduction runs once on the incoming state; every
@@ -191,8 +196,9 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState):
     (its swap-remove compaction is order-dependent)."""
     f = state.u.dtype
     fast = cfg.marker_layout == "slots"
-    defer_alive = (
-        fast and cfg.use_pallas_markers and cfg.fuse_marker_pass
+    defer_alive = fast and (
+        (cfg.use_pallas_markers and cfg.fuse_marker_pass)
+        or marker_pass is not None
     )
 
     def body(carry, _):
@@ -204,7 +210,8 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState):
         # land only in select-discarded grid fields)
         dt = jnp.where(active, dt, jnp.asarray(0.0 if fast else 1.0, f))
         new_state, new_msq = substep(cfg, scn, state, dt, active=active,
-                                     defer_alive=defer_alive)
+                                     defer_alive=defer_alive,
+                                     marker_pass=marker_pass)
         if fast:
             sel = lambda a, b: jnp.where(active, a, b)
             state = new_state.replace(
