@@ -305,21 +305,37 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         hx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
         hy = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
               + (row0 - 1) + row_off)
-        movx = []
-        movy = []
+        # movement CODE per marched slot: (movy+1)*3 + (movx+1) in 0..8
+        # (CFL bounds movement to one cell) — per-view selection below is
+        # then ONE compare against the view's constant instead of two
+        # compares + and per (view, slot)
+        hcnt = csc[cslot, 0:TH, 0:TW]
+        movc = []
         for k in range(K):
             mpx = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
             mpy = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
-            movx.append(jnp.floor(mpx * inv_h).astype(jnp.int32) - hx)
-            movy.append(jnp.floor(mpy * inv_h).astype(jnp.int32) - hy)
+            mx = jnp.floor(mpx * inv_h).astype(jnp.int32) - hx
+            my = jnp.floor(mpy * inv_h).astype(jnp.int32) - hy
+            # fold liveness in: dead slots get code -1 (matches no view)
+            movc.append(jnp.where(k < hcnt, (my + 1) * 3 + (mx + 1),
+                                  jnp.int32(-1)))
 
-        count = jnp.zeros((TY, TX), jnp.int32)
+        # Insertion is SELECTION, not accumulation: destination ranks are
+        # consecutive (run increments once per candidate across the whole
+        # own-first + 8-view sequence), so each destination slot receives
+        # at most ONE candidate — `where(mask, src, acc)` replaces the
+        # one-hot multiply-add (4 vops per (slot, dest) pair vs 7), and
+        # count/drops finalise ONCE from the total candidate count
+        # (count = min(run, K), drop = run - count at live cells) instead
+        # of per-(view, slot) bookkeeping.  All outputs bitwise equal to
+        # the jnp path (tests/test_pallas_markers.py).
+        run = jnp.zeros((TY, TX), jnp.int32)
         acc_px = [jnp.zeros((TY, TX), f) for _ in range(K)]
         acc_py = [jnp.zeros((TY, TX), f) for _ in range(K)]
 
         # ---- own cell first (offset (0, 0), OFFSETS_OWN_FIRST[0]) ----
         # Processed before any arrival, so a stayer's destination rank is
-        # at most its own slot index (triangular one-hot), and when NO
+        # at most its own slot index (triangular bound), and when NO
         # live marker in the tile leaves its cell, slot k maps to slot k
         # exactly (front-compaction makes the rank prefix the identity).
         scnt0 = csc[cslot, 1 : 1 + TY, 1 : 1 + TX]
@@ -330,108 +346,90 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         stays = []
         any_leaver = None
         for k in range(K):
-            livek = k < scnt0
-            stayk = (
-                livek
-                & (movx[k][1 : 1 + TY, 1 : 1 + TX] == 0)
-                & (movy[k][1 : 1 + TY, 1 : 1 + TX] == 0)
-            )
+            mc = movc[k][1 : 1 + TY, 1 : 1 + TX]
+            stayk = mc == 4  # code (0, 0); dead slots are -1
             stays.append(stayk)
-            leaverk = livek & ~stayk
+            leaverk = (mc >= 0) & ~stayk
             any_leaver = leaverk if any_leaver is None else (any_leaver | leaverk)
 
         def own_fast(carry):
             # no leaver anywhere in the tile: every live slot keeps its
             # marker in place (rank k == slot k)
-            count, acc_px, acc_py = carry
+            run, acc_px, acc_py = carry
+            nd = ~dead
             for k in range(K):
-                okf = ((k < scnt0) & ~dead).astype(f)
-                acc_px[k] = acc_px[k] + okf * spx0[k]
-                acc_py[k] = acc_py[k] + okf * spy0[k]
-            count = count + jnp.where(dead, 0, scnt0)
-            return count, acc_px, acc_py
+                okk = (k < scnt0) & nd
+                acc_px[k] = jnp.where(okk, spx0[k], acc_px[k])
+                acc_py[k] = jnp.where(okk, spy0[k], acc_py[k])
+            return run + scnt0, acc_px, acc_py
 
         def own_full(carry):
-            count, acc_px, acc_py = carry
-            run = count
-            newcount = count
+            run, acc_px, acc_py = carry
+            nd = ~dead
             for k in range(K):
-                selk = stays[k]
-                destk = run
-                okk = selk & ~dead  # destk <= k < K always holds here
-                okf = okk.astype(f)
-                for d in range(k + 1):  # triangular bound
-                    mf = okf * (destk == d).astype(f)
-                    acc_px[d] = acc_px[d] + mf * spx0[k]
-                    acc_py[d] = acc_py[d] + mf * spy0[k]
-                run = run + selk.astype(jnp.int32)
-                newcount = newcount + okk.astype(jnp.int32)
-            return newcount, acc_px, acc_py
+                snd = stays[k] & nd
+                for d in range(k + 1):  # triangular bound: rank <= k
+                    m = snd & (run == d)
+                    acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
+                    acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
+                run = run + stays[k].astype(jnp.int32)
+            return run, acc_px, acc_py
 
-        count, acc_px, acc_py = jax.lax.cond(
+        run, acc_px, acc_py = jax.lax.cond(
             jnp.any(any_leaver), own_full, own_fast,
-            (count, acc_px, acc_py),
+            (run, acc_px, acc_py),
         )
 
         # ---- the 8 neighbour offsets, lexicographic (matching
         # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
-        # per-DESTINATION-CELL capacity drops (arrivals beyond K slots;
-        # own-cell stayers can't drop: their dest rank is <= their slot
-        # index).  A [TY, TX] plane rather than a scalar so a sharded
-        # caller can crop redundantly-computed halo cells exactly.
-        drop = jnp.zeros((TY, TX), jnp.int32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if (dy, dx) == (0, 0):
                     continue
                 ys, xs = 1 - dy, 1 - dx
-                scnt = csc[cslot, ys : ys + TY, xs : xs + TX]
-                sels = []
-                any_sel = None
-                for k in range(K):
-                    selk = (
-                        (k < scnt)
-                        & (movx[k][ys : ys + TY, xs : xs + TX] == dx)
-                        & (movy[k][ys : ys + TY, xs : xs + TX] == dy)
-                    )
-                    sels.append(selk)
-                    any_sel = selk if any_sel is None else (any_sel | selk)
+                vc = (dy + 1) * 3 + (dx + 1)
+                # ONE compare per (view, slot): liveness and direction
+                # are both folded into the movement code
+                sels = [movc[k][ys : ys + TY, xs : xs + TX] == vc
+                        for k in range(K)]
+                any_sel = sels[0]
+                for s in sels[1:]:
+                    any_sel = any_sel | s
 
-                def insert_view(carry, _dy=dy, _dx=dx, _sels=sels):
-                    count, acc_px, acc_py, drop = carry
-                    ys, xs = 1 - _dy, 1 - _dx
-                    run = count
-                    newcount = count
+                def insert_view(carry, _ys=ys, _xs=xs, _sels=sels):
+                    run, acc_px, acc_py = carry
+                    nd = ~dead
                     for k in range(K):
-                        spx = ssc[bslot * 2 * K + k, ys : ys + TY, xs : xs + TX]
+                        spx = ssc[bslot * 2 * K + k,
+                                  _ys : _ys + TY, _xs : _xs + TX]
                         spy = ssc[bslot * 2 * K + K + k,
-                                  ys : ys + TY, xs : xs + TX]
-                        selk = _sels[k]
-                        destk = run
-                        okk = selk & (destk < K) & ~dead
-                        okf = okk.astype(f)
+                                  _ys : _ys + TY, _xs : _xs + TX]
+                        snd = _sels[k] & nd
                         for d in range(K):
-                            mf = okf * (destk == d).astype(f)
-                            acc_px[d] = acc_px[d] + mf * spx
-                            acc_py[d] = acc_py[d] + mf * spy
-                        run = run + selk.astype(jnp.int32)
-                        newcount = newcount + okk.astype(jnp.int32)
-                    # capacity drops = candidates - accepted at non-dead
-                    # cells (at dead cells the difference is the
-                    # reference's sink/solid deletions — not drops).
-                    # One op per view instead of one per (k, d) pair.
-                    drop = drop + jnp.where(dead, 0, run - newcount)
-                    return newcount, acc_px, acc_py, drop
+                            m = snd & (run == d)
+                            acc_px[d] = jnp.where(m, spx, acc_px[d])
+                            acc_py[d] = jnp.where(m, spy, acc_py[d])
+                        run = run + _sels[k].astype(jnp.int32)
+                    return run, acc_px, acc_py
 
                 # view-level skip: no marker of these source cells lands
                 # in this tile with this offset -> the whole insertion
-                # pass is a no-op (run/count unchanged, accs unchanged)
-                count, acc_px, acc_py, drop = jax.lax.cond(
+                # pass is a no-op (run unchanged, accs unchanged)
+                run, acc_px, acc_py = jax.lax.cond(
                     jnp.any(any_sel),
                     insert_view,
                     lambda carry: carry,
-                    (count, acc_px, acc_py, drop),
+                    (run, acc_px, acc_py),
                 )
+
+        # ---- finalise: ranks are consecutive, so accepted = min(run, K)
+        # at live cells; the remainder is the slot-capacity drop (at dead
+        # cells the difference is the reference's sink/solid deletions —
+        # main.c:109-113 — not drops).  A [TY, TX] plane rather than a
+        # scalar so a sharded caller can crop redundant halo cells.
+        accepted = jnp.minimum(run, K)
+        count = jnp.where(dead, 0, accepted)
+        drop = jnp.where(dead, 0, run - accepted)
 
         for d in range(K):
             oslots_ref[d] = acc_px[d]
