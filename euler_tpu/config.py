@@ -130,6 +130,15 @@ class SimConfig:
     #              dropping arrivals beyond slots_per_cell in one cell.
     marker_layout: str = "global"
     slots_per_cell: int = 8
+    # Replicate the reference's cross-marker dt leak (global layout
+    # only): advect_markers mutates its dt parameter on collisions and
+    # never resets it between markers (main.c:465-537, `dt -= t_prev`),
+    # so one marker's wall hit shortens every later marker's advection
+    # in the same call.  Reference semantics — required for long-horizon
+    # byte parity (tests/test_ref_binary.py; filter diverged at frame 29
+    # without it).  The slots layout marches cell-major and documents
+    # per-marker dt as a deviation.
+    marker_dt_carry: bool = True
     # Use the fused Pallas TPU kernel for slot-marker advection (same
     # math as the jnp path to within compiler FMA contraction).
     use_pallas_markers: bool = False

@@ -46,21 +46,55 @@ def marker_cells(cfg: SimConfig, markers):
     return yi, xi
 
 
+def _swap_remove_compact(markers, live_in, doomed):
+    """The reference's deletion compaction (main.c:109-115): a doomed
+    slot i is overwritten by the LAST live marker (`g_markers[i--] =
+    g_markers[--len]`, retrying while the tail marker is itself doomed).
+    Net permutation: survivors below the new length stay in place;
+    doomed head slots are filled by tail survivors in DECREASING index
+    order.  Keeping this exact order matters because advect_markers'
+    dt-carry chain (see its docstring) is marker-order-dependent.
+
+    live_in must be a prefix mask (markers [2, M]); returns
+    (markers', alive', n')."""
+    M = live_in.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    doomed = doomed & live_in
+    surv = live_in & ~doomed
+    n2 = jnp.sum(surv, dtype=jnp.int32)
+    head = idx < n2
+    dh = doomed & head                    # doomed head slots, increasing
+    ts = surv & ~head                     # tail survivors
+    dh_idx = jnp.nonzero(dh, size=M, fill_value=M)[0].astype(jnp.int32)
+    # tail survivors in DECREASING index order, aligned with dh_idx
+    ts_desc = (M - 1) - jnp.nonzero(
+        jnp.flip(ts), size=M, fill_value=-1
+    )[0].astype(jnp.int32)
+    moved = jnp.take(markers, jnp.clip(ts_desc, 0, M - 1), axis=1)
+    markers = markers.at[:, dh_idx].set(moved, mode="drop")
+    return markers, head, n2
+
+
 def refresh_marker_counts(cfg: SimConfig, scn: Scenario, state: FluidState):
-    """main.c:102-117 as alive-mask + scatter-add histogram."""
+    """main.c:102-117: scatter-add histogram + exact swap-remove
+    compaction (the array keeps the reference's marker order)."""
     yi, xi = marker_cells(cfg, state.markers)
     yi = jnp.clip(yi, 0, cfg.ny - 1)
     xi = jnp.clip(xi, 0, cfg.nx - 1)
     doomed = scn.sink[yi, xi] | scn.solid[yi, xi]
-    alive = state.alive & ~doomed
+    surv = state.alive & ~doomed
     counts = jnp.zeros((cfg.ny, cfg.nx), jnp.int32).at[yi, xi].add(
-        alive.astype(jnp.int32), mode="drop"
+        surv.astype(jnp.int32), mode="drop"
+    )
+    markers, alive, n2 = _swap_remove_compact(
+        state.markers, state.alive, doomed
     )
     return state.replace(
+        markers=markers,
         prev_marker_count=state.marker_count,
         marker_count=counts,
         alive=alive,
-        alive_count=jnp.sum(alive).astype(jnp.int32),
+        alive_count=n2,
     )
 
 
@@ -87,7 +121,64 @@ def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
     their state through unchanged), which is exactly equivalent provided
     the true trip count never exceeds the bound — guaranteed by the CFL
     limit on |v|*dt.
+
+    dt-carry (marker_dt_carry, default on = reference semantics): the
+    reference mutates its dt PARAMETER on collisions (`dt -= t_prev`,
+    main.c:501/513) and the marker loop reuses the mutated value, so a
+    collision after a boundary crossing (t_prev > 0) shortens every
+    LATER marker's advection in the same call.  Root-caused 2026-08-17
+    as the filter frame-29 byte-divergence (the drift survived a strict
+    -fno-fast-math -ffp-contract=off reference build, so it was never
+    fast-math).  Vectorised as a fixpoint: march all markers with a
+    per-marker dt estimate, propagate each marker's post-march dt to
+    all later markers (last-changed-wins segment fill), repeat until
+    the dt vector is bitwise stable — dt-changing events are rare
+    (first at ~frame 26 on filter), so this converges in
+    1 + #events passes and costs exactly one march when no event fires.
     """
+    if not cfg.marker_dt_carry:
+        new_markers, _ = _march_markers(cfg, scn, state, dt)
+        return state.replace(markers=new_markers)
+
+    M = state.markers.shape[1]
+    f = state.markers.dtype
+    dt = jnp.asarray(dt, f)
+    idx = jnp.arange(M, dtype=jnp.int32)
+
+    def propagate(dt_vec, dt_out):
+        # dead lanes are identity links in the chain
+        dt_out = jnp.where(state.alive, dt_out, dt_vec)
+        changed = dt_out != dt_vec
+        j = jnp.where(changed, idx, -1)
+        last = jax.lax.associative_scan(jnp.maximum, j)
+        last_excl = jnp.concatenate(
+            [jnp.full((1,), -1, last.dtype), last[:-1]]
+        )
+        picked = jnp.take(dt_out, jnp.clip(last_excl, 0, M - 1))
+        return jnp.where(last_excl >= 0, picked, dt)
+
+    def cond(c):
+        it, dt_vec, dt_prev, _ = c
+        return (it == 0) | ((it < 16) & jnp.any(dt_vec != dt_prev))
+
+    def body(c):
+        it, dt_vec, _, markers = c
+        new_markers, dt_out = _march_markers(cfg, scn, state, dt_vec)
+        return it + 1, propagate(dt_vec, dt_out), dt_vec, new_markers
+
+    _, _, _, new_markers = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((M,), f) + dt, jnp.zeros((M,), f),
+         state.markers),
+    )
+    return state.replace(markers=new_markers)
+
+
+def _march_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
+    """One vectorised DDA march pass; dt may be per-marker.  Returns
+    (markers', dt_rem) where dt_rem is each marker's remaining-dt
+    variable after its collision decrements (the value the reference's
+    next marker would observe)."""
     h = np.float32(cfg.side_length)
     solid = scn.solid
 
@@ -184,7 +275,7 @@ def advect_markers(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
         ],
         axis=0,
     )
-    return state.replace(markers=new_markers)
+    return new_markers, dt_rem
 
 
 def get_marker_ops(cfg: SimConfig):

@@ -308,8 +308,19 @@ class Oracle:
         return FLT_MAX
 
     def advect_markers(self, dt):
+        # NB: dt_i is NOT reset between markers.  The reference mutates
+        # its dt PARAMETER on collisions (`dt -= t_prev`, main.c:501/513)
+        # and the loop over markers (main.c:465) reuses the mutated
+        # value, so once any marker hits a solid after a boundary
+        # crossing (t_prev > 0), every subsequent marker in the same
+        # call advects for less time.  Root-caused 2026-08-17: with
+        # dt reset per marker the oracle diverges from a strict-IEEE
+        # (-fno-fast-math -ffp-contract=off) build of the reference at
+        # filter frame 29; with the carry it is bitwise identical
+        # through 30+ frames (the old test_ref_binary docstring blamed
+        # fast-math codegen for that horizon — wrong).
+        dt_i = _f32(dt)
         for i in range(len(self.markers)):
-            dt_i = _f32(dt)
             px, py = self.markers[i]
             vx, vy = self.velocity_at(px, py)
 

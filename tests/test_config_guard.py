@@ -31,6 +31,9 @@ def test_sim_defaults_are_reference_semantics():
     # the slots layout (bounded per-cell capacity, a documented deviation
     # from main.c:92-97) is opt-in
     assert c.marker_layout == "global"
+    # the reference's cross-marker dt leak (main.c:465-537) is semantics,
+    # not an optimisation — required for the >=50-frame byte horizons
+    assert c.marker_dt_carry is True
     assert c.use_pallas_markers is False
     assert c.use_pallas_grid is False
     # reference compile-time constants (main.c:33-43)

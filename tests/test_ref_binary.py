@@ -7,14 +7,31 @@ asserts the framework's full rendered ANSI byte stream (cursor controls,
 glyphs, run-length colour state, 24-bit truecolor) is IDENTICAL to what
 the C program wrote to its terminal, frame for frame.
 
-Divergence horizons (first frame whose bytes differ, measured 2026-08-16
-against the Release -ffast-math build; the NumPy oracle diverges from
-the binary at the SAME frames, so the drift is the binary's own
-fast-math codegen — e.g. FMA contraction in the f32 advection — not a
-semantic gap in either port):
+Divergence horizons (first frame whose bytes differ vs the Release
+-ffast-math corpus build; re-measured 2026-08-17):
 
-    mono:    basic >=50  block >=50  filter 29  waterfall 46  weird-edges >=50
+    mono:    ALL FIVE scenarios byte-identical to the full >=50-frame corpus
     rainbow: basic >=25  block >=25  filter >=25  waterfall >=25  weird-edges 18
+
+Both formerly-finite mono horizons were ROOT-CAUSED and closed
+(2026-08-17), falsifying the earlier "fast-math codegen" explanation:
+
+  * filter 29 / waterfall 46 — the reference's advect_markers mutates
+    its dt PARAMETER on collisions and never resets it between markers
+    (main.c:465-537), so one marker's wall hit shortens every later
+    marker's advection in the same call.  Proven by bisection: the old
+    oracle diverged from a strict-IEEE (-fno-fast-math
+    -ffp-contract=off, and -O0) reference build at the same frame 29,
+    and is bitwise identical (every stage, every substep, marker
+    positions included) once the dt carry is replicated.  The framework
+    replicates it via SimConfig.marker_dt_carry (fixpoint march) plus
+    exact swap-remove deletion order (ops/markers.py).
+  * weird-edges rainbow 18 — FMA contraction: against a
+    -fno-fast-math -ffp-contract=fast build the framework is
+    byte-identical through the full 25-frame corpus, and against
+    -ffp-contract=off it diverges at 19; XLA:CPU contracts FMAs like
+    gcc's -ffp-contract=fast, and the -ffast-math corpus build's extra
+    transforms set the 18 horizon.  Not semantically closable.
 
 Notably this corpus adjudicated the main.c:288 unspecified-evaluation-
 order question: gcc evaluates the two randf() args right-to-left (y
@@ -37,12 +54,14 @@ GOLD = os.path.join(os.path.dirname(__file__), "goldens", "ref_binary")
 # pty window the corpus was captured under (g_wy=60 rows, g_wx=130 cols)
 WINDOW = (60, 130)
 
-# (scenario, rainbow) -> last byte-identical frame
+# (scenario, rainbow) -> last byte-identical frame (== full corpus length
+# everywhere except weird-edges rainbow, whose horizon is FMA-contraction
+# codegen — see module docstring)
 HORIZONS = {
     ("basic", False): 50,
     ("block", False): 50,
-    ("filter", False): 28,
-    ("waterfall", False): 45,
+    ("filter", False): 50,
+    ("waterfall", False): 50,
     ("weird-edges", False): 50,
     ("basic", True): 25,
     ("block", True): 25,
