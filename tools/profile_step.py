@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_workload(args):
     import jax
 
+    # same persistent compile cache as bench.py — an mg-kernel compile
+    # is ~25 min at 1024², pay it once per config
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/euler_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from euler_tpu.config import SimConfig, SolverConfig
     from euler_tpu.core.presets import dam_break
     from euler_tpu.sim import step_frame_jit
@@ -38,13 +47,30 @@ def run_workload(args):
         rainbow=args.rainbow,
         use_pallas_markers=True,
         solver=SolverConfig(max_iterations=100, tol=1e-6,
-                            dtype="float32", preconditioner="jacobi",
-                            use_pallas=True),
+                            tol_rel=args.tol_rel,
+                            dtype="float32", preconditioner=args.precon,
+                            use_pallas=True,
+                            fuse_projection=args.fuse_projection),
     )
     scn, state = dam_break(cfg)
     from euler_tpu.parallel.spatial import to_spatial
 
     state = to_spatial(cfg, state)
+
+    if args.frames_per_call > 1:
+        # mirror bench.py's chained-dispatch program EXACTLY so the
+        # persistent compile cache built by a bench run is reused
+        from euler_tpu.sim import step_frame
+
+        def _chain(scn, state, _n=args.frames_per_call):
+            for _ in range(_n):
+                state = step_frame(cfg, scn, state)
+            return state
+
+        step_chain = jax.jit(_chain)
+        step_frame_jit = lambda c, s, st: step_chain(s, st)  # noqa: E731
+        args.frames = max(1, args.frames // args.frames_per_call)
+        args.warmup = max(1, args.warmup // args.frames_per_call)
 
     def sync(state):
         return float(state.u.sum()) + float(state.markers.sum())
@@ -70,6 +96,7 @@ GROUPS = [
     ("marker march", re.compile(r"marker_kernel|advect_markers")),
     ("marker rebin", re.compile(r"rebin")),
     ("pcg solve", re.compile(r"pcg")),
+    ("mg solve", re.compile(r"mg_kernel|_mg_")),
     ("grid stage (pallas)", re.compile(r"grid_stage")),
     ("fusion (XLA grid ops)", re.compile(r"^(fusion|loop_fusion|input_fusion)")),
     ("copy/reshape", re.compile(r"copy|bitcast|reshape|transpose")),
@@ -131,6 +158,11 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--rainbow", action="store_true")
+    ap.add_argument("--precon", default="jacobi")
+    ap.add_argument("--tol-rel", type=float, default=1e-6)
+    ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--frames-per-call", type=int, default=4)
     ap.add_argument("--logdir", default="/tmp/euler_tpu_trace")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
