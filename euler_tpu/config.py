@@ -57,13 +57,18 @@ class SolverConfig:
     # 512² free-surface systems vs 15 for rbgs V(1,1) + 32-lap coarsest,
     # at fewer (and larger) vector ops per cycle.
     mg_smoother: str = "cheby"
-    mg_cheby_degree: int = 2
+    # Degree 1 (damped Jacobi on the Chebyshev interval) with W-depth 2:
+    # measured on real 512² dam-break systems (tol_rel 1e-4), control
+    # (d2/wd3) takes 11 PCG iterations, d1 12, wd2 13 — while the kernel
+    # cost model (60% latency-bound at the chunked deep levels, PERF.md)
+    # prices d1+wd2 at ~0.5x per iteration.  Net ~1.6x cheaper solve.
+    mg_cheby_degree: int = 1
     mg_cheby_ratio: float = 4.0
     mg_coarse_ratio: float = 100.0
-    # W-recursion depth: levels >= mg_w_depth recurse once (truncated W).
+    # W-recursion depth: levels < mg_w_depth recurse twice (truncated W).
     # The tiny levels' extra visits cost kernel latency without reducing
     # the iteration count (measured).
-    mg_w_depth: int = 3
+    mg_w_depth: int = 2
     # Coarse-operator construction:
     #   "rediscretize" — coarsen the masks, rebuild the 5-point operator
     #                    (loses free-surface Dirichlet geometry on coarse
@@ -97,6 +102,10 @@ class SolverConfig:
     # head/tail sweeps lose to XLA's fused elementwise ops), so off by
     # default; kept as tested infrastructure.
     fuse_projection: bool = False
+    # Run the solver/substep Pallas kernels in interpret mode (CPU
+    # testing of the jit-level dispatch paths; no effect on TPU runs
+    # that leave it False).
+    pallas_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,17 +82,13 @@ def _pair_matrix(Xf: int, Xc: int) -> np.ndarray:
     return W
 
 
-def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
-               cheby_degree: int, cheby_ratio: float,
-               coarse_degree: int, coarse_ratio: float,
-               w: int, w_depth: int,
-               b_ref, *refs):
-    """refs layout: coefs (SMEM [L, 1+2*max_deg]), packed0, [c, e, n]
-    [1..L-1] (3 planes per coarse level), Rx[0..L-2], RxT[0..L-2], p_ref,
-    iters_ref, resid_ref, r_ref(aliased b), z_ref, cd_ref, cr_ref,
-    s_ref, as_ref, x[1..L-1], bl[1..L-1], d[1..L-1], rr[1..L-1]."""
+def _unpack_mg_refs(shapes, refs):
+    """Shared ref-bundle layout for the MG-PCG body: coefs (SMEM
+    [L, 1+2*max_deg]), packed0, [c, e, n][1..L-1] (3 planes per coarse
+    level), Rx[0..L-2], RxT[0..L-2], p_ref, iters_ref, resid_ref, r_ref,
+    z_ref, cd_ref, cr_ref, s_ref, as_ref, x[1..L-1], bl[1..L-1],
+    d[1..L-1], rr[1..L-1].  Returns the tuple _mg_pcg_solve expects."""
     L = len(shapes)
-    f32 = jnp.float32
     coefs_ref = refs[0]
     packed0 = refs[1]
     coef = [None] + [refs[2 + 3 * l: 5 + 3 * l] for l in range(L - 1)]
@@ -107,6 +103,42 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
     b_l = [r_ref] + list(refs[o + L - 1:o + 2 * (L - 1)])
     d_l = [cd_ref] + list(refs[o + 2 * (L - 1):o + 3 * (L - 1)])
     rr_l = [cr_ref] + list(refs[o + 3 * (L - 1):o + 4 * (L - 1)])
+    assert o + 4 * (L - 1) == len(refs), (o, L, len(refs))
+    return (coefs_ref, packed0, coef, Rx, RxT, p_ref, iters_ref,
+            resid_ref, r_ref, z_ref, cd_ref, cr_ref, s_ref, as_ref,
+            x_l, b_l, d_l, rr_l)
+
+
+def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
+               cheby_degree: int, cheby_ratio: float,
+               coarse_degree: int, coarse_ratio: float,
+               w: int, w_depth: int,
+               b_ref, *refs):
+    """Standalone solver kernel: copy the RHS into the residual plane
+    (no-op when aliased; real under interpret) and run the shared body."""
+    del cheby_ratio, coarse_ratio  # schedules baked into the SMEM rows
+    unpacked = _unpack_mg_refs(shapes, refs)
+    r_ref = unpacked[8]
+    Y0 = shapes[0][0]
+    C0 = chunks[0]
+    for c in range(Y0 // C0):
+        r0, r1 = c * C0, (c + 1) * C0
+        r_ref[r0:r1] = b_ref[r0:r1]
+    _mg_pcg_solve(shapes, chunks, max_iters, tol, tol_rel,
+                  cheby_degree, coarse_degree, w, w_depth, *unpacked)
+
+
+def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
+                  tol_rel: float, cheby_degree: int, coarse_degree: int,
+                  w: int, w_depth: int,
+                  coefs_ref, packed0, coef, Rx, RxT,
+                  p_ref, iters_ref, resid_ref, r_ref,
+                  z_ref, cd_ref, cr_ref, s_ref, as_ref,
+                  x_l, b_l, d_l, rr_l):
+    """MG-preconditioned CG given the RHS already in r_ref (which is
+    consumed in place as the residual).  Writes p/iters/resid."""
+    L = len(shapes)
+    f32 = jnp.float32
 
     def decode0(r0, r1):
         pk = packed0[r0:r1]
@@ -163,9 +195,9 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         for c in range(Yl // C):
             fn(c * C, (c + 1) * C)
 
-    def cheby(l, degree: int, ratio: float, from_zero: bool):
+    def cheby(l, degree: int, from_zero: bool):
         """x_l[l] += Chebyshev correction: `degree` steps on
-        [lmax/ratio, lmax] (scalar coefficients from the per-level
+        [lmax/ratio, lmax] (ratio baked into the SMEM schedule;
         Gershgorin bound).  from_zero skips the initial residual apply
         (A 0 = 0) and the zero-fill.
 
@@ -182,7 +214,6 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         10-40 scalar ops per cycle) measured as a dominant serial-latency
         cost.  They arrive precomputed in SMEM, one row per level:
         [inv_theta, c_prev_0, c_r_0, c_prev_1, ...]."""
-        del ratio  # schedule baked into the SMEM row
         inv_theta = coefs_ref[l, 0]
         coefs = [(coefs_ref[l, 1 + 2 * k], coefs_ref[l, 2 + 2 * k])
                  for k in range(degree)]
@@ -260,9 +291,9 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
         r_ref).  Truncated W: levels < w_depth recurse `w` times (except
         directly above the coarsest)."""
         if l == L - 1:
-            cheby(l, coarse_degree, coarse_ratio, from_zero=True)
+            cheby(l, coarse_degree, from_zero=True)
             return
-        cheby(l, cheby_degree, cheby_ratio, from_zero=True)
+        cheby(l, cheby_degree, from_zero=True)
         visits = w if (l < w_depth and l + 1 < L - 1) else 1
 
         def visit(_i, c):
@@ -280,7 +311,7 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             # blew Mosaic's compile past 9 minutes; looping the visits
             # emits each level's body once
             jax.lax.fori_loop(0, visits, visit, None)
-        cheby(l, cheby_degree, cheby_ratio, from_zero=False)
+        cheby(l, cheby_degree, from_zero=False)
 
     # ---- PCG (stopping rule of main.c:738-767) ----
     Y0, X0 = shapes[0]
@@ -290,18 +321,23 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
     rmax0 = jnp.zeros((), f32)
     for c in range(nchunks0):
         r0, r1 = c * C0, (c + 1) * C0
-        r_ref[r0:r1] = b_ref[r0:r1]  # no-op when aliased
         p_ref[r0:r1] = jnp.zeros((C0, X0), f32)
-        rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(b_ref[r0:r1])))
+        rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(r_ref[r0:r1])))
     nonzero = rmax0 != 0.0
     tol_eff = jnp.maximum(jnp.asarray(tol, f32),
                           jnp.asarray(tol_rel, f32) * rmax0)
 
-    cycle(0)
+    # all_zero early-out (main.c:742): skip even the initial W-cycle —
+    # the inactive-substep fast path (sim.py dt_proj = inf) produces an
+    # exactly-zero RHS every discarded substep
+    @pl.when(nonzero)
+    def _initial_cycle():
+        cycle(0)
+
     sigma0 = jnp.zeros((), f32)
     for c in range(nchunks0):
         r0, r1 = c * C0, (c + 1) * C0
-        z = z_ref[r0:r1]
+        z = jnp.where(nonzero, z_ref[r0:r1], jnp.zeros((C0, X0), f32))
         s_ref[r0:r1] = z
         sigma0 = sigma0 + jnp.sum(z * r_ref[r0:r1])
 
@@ -326,7 +362,8 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
             r = r_ref[r0:r1] - alpha * as_ref[r0:r1]
             r_ref[r0:r1] = r
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
-        conv = rmax <= tol_eff
+        # NaN-robust (see project.py)
+        conv = jnp.logical_not(rmax > tol_eff)
 
         cycle(0)
         sigma_new = jnp.zeros((), f32)
@@ -349,11 +386,11 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
     resid_ref[0, 0] = rmax
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
-                             interpret: bool = False):
-    """One-launch Galerkin MG-PCG.  Returns (p, iterations, residual),
-    same contract as ops.project.solve_pressure."""
+def mg_host_operands(cfg: SimConfig, a_diag, fluid):
+    """Host-side (XLA) operand construction shared by the standalone MG
+    solver and the fused-substep kernel: level shapes/chunks, the packed
+    level-0 plane, the Galerkin coarse edge-weight planes, the Chebyshev
+    coefficient rows (SMEM), and the lane-transfer matrices."""
     from euler_tpu.ops.multigrid import build_galerkin_hierarchy
 
     Y, X = cfg.ny, cfg.nx
@@ -395,6 +432,33 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     Rx = [jnp.asarray(_pair_matrix(shapes[l][1], shapes[l + 1][1]))
           for l in range(L - 1)]
     RxT = [jnp.swapaxes(m, 0, 1) for m in Rx]
+    return shapes, chunks, packed0, coef_planes, coef_rows, Rx, RxT
+
+
+def mg_scratch_shapes(shapes):
+    """VMEM scratch list matching _unpack_mg_refs' tail: z/cd/cr/s/As at
+    level 0 plus the coarse-level x/b/d/rr iterate planes."""
+    f = jnp.float32
+    L = len(shapes)
+    return (
+        [pltpu.VMEM(shapes[0], f)] * 5
+        + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # x_l
+        + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # b_l
+        + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # d_l
+        + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # rr_l
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
+                             interpret: bool = False):
+    """One-launch Galerkin MG-PCG.  Returns (p, iterations, residual),
+    same contract as ops.project.solve_pressure."""
+    Y, X = cfg.ny, cfg.nx
+    f = jnp.float32
+    (shapes, chunks, packed0, coef_planes, coef_rows, Rx,
+     RxT) = mg_host_operands(cfg, a_diag, fluid)
+    L = len(shapes)
 
     kernel = functools.partial(
         _mg_kernel, shapes, chunks,
@@ -420,14 +484,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         in_specs=in_specs,
         out_specs=[vmem, smem, smem, vmem],
         input_output_aliases={0: 3},  # b buffer becomes the residual
-        scratch_shapes=(
-            # z, cheby d/r at level 0, s, As
-            [pltpu.VMEM((Y, X), f)] * 5
-            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # x_l
-            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # b_l
-            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # d_l
-            + [pltpu.VMEM(shapes[l], f) for l in range(1, L)]   # rr_l
-        ),
+        scratch_shapes=mg_scratch_shapes(shapes),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),

@@ -137,7 +137,9 @@ def _pcg_kernel(max_iters: int, tol: float, tol_rel: float, C: int,
             r_ref[r0:r1] = r
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
             sigma_new = sigma_new + jnp.sum((invd * r) * r)
-        conv = rmax <= tol_eff
+        # NaN-robust (inactive-substep dt = 0 NaN RHS exits in one
+        # iteration instead of burning the budget; see project.py)
+        conv = jnp.logical_not(rmax > tol_eff)
 
         # pass 3: s = z + beta s
         beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
@@ -333,7 +335,9 @@ def _project_kernel(cfg: SimConfig, C: int,
             b_ref[r0:r1] = r
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
             sigma_new = sigma_new + jnp.sum((invd * r) * r)
-        conv = rmax <= tol_eff
+        # NaN-robust (inactive-substep dt = 0 NaN RHS exits in one
+        # iteration instead of burning the budget; see project.py)
+        conv = jnp.logical_not(rmax > tol_eff)
 
         beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
         for c in range(nchunks):

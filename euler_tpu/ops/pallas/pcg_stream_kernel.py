@@ -223,7 +223,8 @@ def _stream_kernel(max_iters: int, tol: float, tol_rel: float,
             pr_compute,
         )
 
-        conv = acc2["rmax"] <= tol_eff
+        # NaN-robust (see project.py)
+        conv = jnp.logical_not(acc2["rmax"] > tol_eff)
         beta_new = acc2["sig"] / jnp.where(sigma != 0, sigma, 1.0)
         return (acc2["sig"], beta_new, i + 1, conv)
 

@@ -150,7 +150,12 @@ def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
         alpha = sigma / jnp.where(zs != 0, zs, 1)
         p = p + alpha * s
         r = r - alpha * As
-        conv = inf_norm(r) <= tol
+        # NaN-robust form: an inactive substep's dt = 0 makes b (and
+        # hence r) NaN, and `rmax <= tol` would never fire — burning
+        # the full iteration budget on a solve whose result is
+        # select-discarded.  ~(rmax > tol) exits after one iteration
+        # instead; identical on real numbers (main.c:756 semantics).
+        conv = jnp.logical_not(inf_norm(r) > tol)
         z = precon(r)
         sigma_new = dot(z, r)
         beta = sigma_new / jnp.where(sigma != 0, sigma, 1)

@@ -40,6 +40,28 @@ from euler_tpu.ops.markers import (
 from euler_tpu.ops.project import project
 
 
+def _use_fused_substep(cfg: SimConfig, scn: Scenario) -> bool:
+    """Whole grid half of the substep (extrapolate -> zero -> advect ->
+    gravity -> zero -> divergence -> MG-PCG -> clamp -> face update ->
+    maxsq) as ONE Pallas launch — a substep is then exactly two launches
+    (marker kernel + this).  Requires: no sources (the grid stage must
+    see the post-emission fluid mask, which source scenarios only know
+    after the host-side RNG scan — scn.num_sources is static), mono
+    (rainbow advects colours with the intermediate velocities), the mg
+    preconditioner, and the whole hierarchy fitting VMEM."""
+    if cfg.rainbow or cfg.marker_layout != "slots":
+        return False
+    if not (cfg.solver.use_pallas and cfg.solver.fuse_projection):
+        return False
+    if cfg.solver.preconditioner != "mg":
+        return False
+    if scn.num_sources != 0:
+        return False
+    from euler_tpu.ops.pallas.substep_kernel import substep_fused_fits
+
+    return substep_fused_fits(cfg)
+
+
 def _use_fused_projection(cfg: SimConfig) -> bool:
     """Projection (divergence -> PCG -> clamp -> face update -> maxsq)
     as ONE Pallas launch: on when the solver's Pallas path is on and the
@@ -95,6 +117,28 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
     # velocity extrapolation and boundary zeroing see the post-emission
     # fluid mask (emission increments marker_count, main.c:289)
     fluid, prev = state.fluid, state.prev_fluid
+
+    # Inactive substeps must not burn the solver's iteration budget: with
+    # dt = 0 (fast path) the RHS k_inv_scale = h^2 rho / dt is inf and the
+    # divergence RHS goes NaN, so `rmax <= tol` never fires and every
+    # discarded solve ran the full max_iterations.  dt = inf instead makes
+    # k_inv_scale = 0 and the RHS EXACTLY zero, so the solvers' all_zero
+    # early-out (main.c:742) skips the loop entirely.  Active substeps are
+    # bitwise unaffected.
+    if active is None:
+        dt_proj = dt
+    else:
+        dt_proj = jnp.where(active, dt, jnp.asarray(jnp.inf, dt.dtype))
+
+    if _use_fused_substep(cfg, scn):
+        from euler_tpu.ops.pallas.substep_kernel import project_substep_mg
+
+        u2, v2, _iters, _resid, msq = project_substep_mg(
+            cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
+            interpret=cfg.solver.pallas_interpret,
+        )
+        return state.replace(u=u2, v=v2), msq
+
     if cfg.use_pallas_grid and not cfg.rainbow:
         # fused Pallas grid stage (extrapolate -> zero -> advect ->
         # gravity -> zero); rainbow needs the intermediate velocities
@@ -123,17 +167,6 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         ut = zero_bounds(cfg, ut, fluid, solid, "u")
         vt = zero_bounds(cfg, vt, fluid, solid, "v")
 
-    # Inactive substeps must not burn the solver's iteration budget: with
-    # dt = 0 (fast path) the RHS k_inv_scale = h^2 rho / dt is inf and the
-    # divergence RHS goes NaN, so `rmax <= tol` never fires and every
-    # discarded solve ran the full max_iterations.  dt = inf instead makes
-    # k_inv_scale = 0 and the RHS EXACTLY zero, so the solvers' all_zero
-    # early-out (main.c:742) skips the loop entirely.  Active substeps are
-    # bitwise unaffected.
-    if active is None:
-        dt_proj = dt
-    else:
-        dt_proj = jnp.where(active, dt, jnp.asarray(jnp.inf, dt.dtype))
     if _use_fused_projection(cfg):
         from euler_tpu.ops.pallas.pcg_kernel import project_pallas
 

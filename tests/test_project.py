@@ -185,3 +185,20 @@ def test_relative_tolerance_stopping(rolled):
     b_norm = float(jnp.max(jnp.abs(b)))
     assert float(res) <= max(1e-6, 1e-3 * b_norm)
     assert int(it_rel) < int(it_abs)  # looser rule exits earlier
+
+
+def test_nan_rhs_exits_fast(rolled):
+    """A NaN RHS (inactive substep: dt = 0 makes b = -div*rho*h^2/dt a
+    -0*inf NaN) must not burn the full iteration budget: the NaN-robust
+    convergence test ~(||r|| > tol) exits after one iteration.  The
+    result is select-discarded by sim.py, so only the cost matters."""
+    cfg = SimConfig(solver=SolverConfig(dtype="float32",
+                                        max_iterations=100))
+    scn = scenario_from_oracle(rolled)
+    st = state_from_oracle(rolled, cfg)
+    fluid = st.marker_count > 0
+    b = divergence_rhs(cfg, st.u, st.v, fluid, jnp.float32(0.0))
+    assert bool(jnp.isnan(b).any())
+    a_diag = pressure_matrix_diag(cfg, scn.solid, fluid)
+    _, iters, _ = solve_pressure(cfg, b, a_diag, fluid, scn.solid)
+    assert int(iters) <= 1
