@@ -235,10 +235,16 @@ def _project_kernel(cfg: SimConfig, C: int,
     nchunks = Y // C
     f32 = jnp.float32
     dt = dt_ref[0, 0]
+    # lane 1 carries the RHS-scale dt separately (project_pallas fills
+    # both lanes with the same dt — bitwise unchanged there; the fused
+    # substep passes dt_proj = +inf on inactive substeps so the RHS is
+    # exactly zero and the all_zero early-out fires)
+    dt_proj = dt_ref[0, 1]
     inv_h = np.float32(1.0 / cfg.side_length)
     # C computes h^2 * rho / dt in float then widens (main.c:713)
     k_inv_scale = (
-        np.float32(cfg.side_length * cfg.side_length * cfg.density) / dt
+        np.float32(cfg.side_length * cfg.side_length * cfg.density)
+        / dt_proj
     )
     neg_inv_rho_h = np.float32(-1.0 / (cfg.density * cfg.side_length))
 

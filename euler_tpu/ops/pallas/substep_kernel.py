@@ -54,41 +54,21 @@ from euler_tpu.ops.pallas.mg_kernel import (
 from euler_tpu.ops.pallas.pcg_kernel import _VMEM_BUDGET
 
 
-def _substep_kernel(cfg: SimConfig, shapes, chunks,
-                    dt_ref, fl_ref, so_ref, pfl_ref, u_ref, v_ref,
-                    *refs):
-    """refs order (pallas operand stream): remaining inputs
-    [coefs(SMEM), packed0, coef planes, Rx, RxT], then outputs
-    [u2, v2, msq, iters, resid] (u2/v2 alias u/v — ut/vt are computed
-    into them in place), then scratch [zu, zv, p, r, <MG scratch>]."""
-    Y, X = shapes[0]
-    L = len(shapes)
-    C = chunks[0]
+def _grid_stage_sweeps(cfg: SimConfig, Y, X, C, dt,
+                       fl_ref, so_ref, pfl_ref, u_ref, v_ref,
+                       zu_ref, zv_ref, u2_ref, v2_ref):
+    """The grid-velocity stage of one substep (main.c:865-889) as two
+    chunked whole-plane sweeps: A) extrapolate + zero_bounds into zu/zv
+    (materialised so B can read ±1 neighbour rows across chunk
+    boundaries), B) semi-Lagrangian advect + gravity + zero_bounds into
+    u2/v2 IN PLACE over the u/v input buffers (dead after sweep A).
+    Masks arrive as f32 0/1 planes."""
     nchunks = Y // C
     f32 = jnp.float32
-    dt = dt_ref[0, 0]
-    dt_proj = dt_ref[0, 1]
     g = np.float32(cfg.gravity)
     inv_h = np.float32(1.0 / cfg.side_length)
-    # C computes h^2 * rho / dt in float then widens (main.c:713)
-    k_inv_scale = (
-        np.float32(cfg.side_length * cfg.side_length * cfg.density)
-        / dt_proj
-    )
-    neg_inv_rho_h = np.float32(-1.0 / (cfg.density * cfg.side_length))
-
-    n_rest = 2 + 5 * (L - 1)  # coefs, packed0, 3(L-1) coef planes, Rx, RxT
-    head = list(refs[:n_rest])
-    u2_ref, v2_ref, msq_ref, iters_ref, resid_ref = refs[n_rest:n_rest + 5]
-    zu_ref, zv_ref, p_ref, r_ref = refs[n_rest + 5:n_rest + 9]
-    mg_scratch = list(refs[n_rest + 9:])
-    mg_refs = _unpack_mg_refs(
-        shapes,
-        head + [p_ref, iters_ref, resid_ref, r_ref] + mg_scratch,
-    )
 
     def rows(ref, r0, r1):
-        """ref rows [r0, r1) with zero fill beyond [0, Y)."""
         lo, hi = max(r0, 0), min(r1, Y)
         parts = []
         if r0 < 0:
@@ -108,8 +88,7 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
     reg_u = col < (X - 1)
     xs = col.astype(f32)
 
-    # -- per-chunk mask machinery (u/v properties with logical regions,
-    #    main.c:128-147); masks arrive as f32 0/1 planes --
+    # u/v properties with logical regions (main.c:128-147)
     def u_prop(mref, r0, r1, s):
         m = rows(mref, r0 + s, r1 + s)
         return (m + shr(m)) != 0
@@ -122,9 +101,8 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         row = jax.lax.broadcasted_iota(jnp.int32, (C, X), 0) + r0
         return (row + s) < (Y - 1)
 
-    # ---- sweep A: extrapolate + zero_bounds -> zu, zv ----
-    # (main.c:173-185 + main.c:822-832; whole planes materialise so
-    # sweep B can read +-1 neighbour rows across chunk boundaries)
+    # ---- sweep A: extrapolate (main.c:173-185) + zero_bounds
+    # (main.c:822-832) -> zu, zv ----
     def extrap_zero(q_ref, z_ref_out, prop, reg_of, r0, r1):
         q = rows(q_ref, r0, r1)
         cur = prop(fl_ref, r0, r1, 0) & reg_of(r0, 0)
@@ -152,8 +130,7 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         extrap_zero(u_ref, zu_ref, u_prop, lambda _r0, _s: reg_u, r0, r1)
         extrap_zero(v_ref, zv_ref, v_prop, v_reg, r0, r1)
 
-    # ---- sweep B: advect + gravity + zero_bounds -> ut/vt, written into
-    # the u2/v2 buffers in place (u/v inputs are dead after sweep A) ----
+    # ---- sweep B: advect + gravity + zero_bounds -> u2/v2 ----
     for c in range(nchunks):
         r0, r1 = c * C, (c + 1) * C
         ys = (jax.lax.broadcasted_iota(jnp.int32, (C, X), 0)
@@ -210,6 +187,62 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         vt = jnp.where(mask_v & ~v_prop(so_ref, r0, r1, 0), vt, 0.0)
         u2_ref[r0:r1] = ut
         v2_ref[r0:r1] = vt
+
+
+def _substep_kernel(cfg: SimConfig, shapes, chunks,
+                    dt_ref, fl_ref, so_ref, pfl_ref, u_ref, v_ref,
+                    *refs):
+    """refs order (pallas operand stream): remaining inputs
+    [coefs(SMEM), packed0, coef planes, Rx, RxT], then outputs
+    [u2, v2, msq, iters, resid] (u2/v2 alias u/v — ut/vt are computed
+    into them in place), then scratch [zu, zv, p, r, <MG scratch>]."""
+    Y, X = shapes[0]
+    L = len(shapes)
+    C = chunks[0]
+    nchunks = Y // C
+    f32 = jnp.float32
+    dt = dt_ref[0, 0]
+    dt_proj = dt_ref[0, 1]
+    inv_h = np.float32(1.0 / cfg.side_length)
+    # C computes h^2 * rho / dt in float then widens (main.c:713)
+    k_inv_scale = (
+        np.float32(cfg.side_length * cfg.side_length * cfg.density)
+        / dt_proj
+    )
+    neg_inv_rho_h = np.float32(-1.0 / (cfg.density * cfg.side_length))
+
+    n_rest = 2 + 5 * (L - 1)  # coefs, packed0, 3(L-1) coef planes, Rx, RxT
+    head = list(refs[:n_rest])
+    u2_ref, v2_ref, msq_ref, iters_ref, resid_ref = refs[n_rest:n_rest + 5]
+    zu_ref, zv_ref, p_ref, r_ref = refs[n_rest + 5:n_rest + 9]
+    mg_scratch = list(refs[n_rest + 9:])
+    mg_refs = _unpack_mg_refs(
+        shapes,
+        head + [p_ref, iters_ref, resid_ref, r_ref] + mg_scratch,
+    )
+
+    _grid_stage_sweeps(cfg, Y, X, C, dt, fl_ref, so_ref, pfl_ref,
+                       u_ref, v_ref, zu_ref, zv_ref, u2_ref, v2_ref)
+
+    def rows(ref, r0, r1):
+        """ref rows [r0, r1) with zero fill beyond [0, Y)."""
+        lo, hi = max(r0, 0), min(r1, Y)
+        parts = []
+        if r0 < 0:
+            parts.append(jnp.zeros((-r0, X), f32))
+        parts.append(ref[lo:hi])
+        if r1 > Y:
+            parts.append(jnp.zeros((r1 - Y, X), f32))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+    def shl(a):  # a[y, x-1]
+        return _shift_x(a, -1)
+
+    def shr(a):  # a[y, x+1]
+        return _shift_x(a, 1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, X), 1)
+    reg_u = col < (X - 1)
 
     # ---- divergence RHS (main.c:716-724) -> r plane ----
     for c in range(nchunks):
@@ -326,4 +359,77 @@ def substep_fused_fits(cfg: SimConfig) -> bool:
     return (
         mg_pallas_fits(cfg)
         and int(cfg.ny * cfg.nx * 4 * 18.0) <= _VMEM_BUDGET
+    )
+
+
+# ----------------------------------------------------------------------
+# Jacobi (reference-budget "speed mode") variant: the same grid-stage
+# sweeps feeding the one-launch fused Jacobi projection of
+# pcg_kernel._project_kernel.
+# ----------------------------------------------------------------------
+
+def _substep_jacobi_kernel(cfg: SimConfig, C,
+                           dt_ref, fl_ref, so_ref, pfl_ref, u_ref, v_ref,
+                           u2_ref, v2_ref, iters_ref, resid_ref, msq_ref,
+                           zu_ref, zv_ref,
+                           packed_ref, b_ref, p_ref, s_ref, as_ref):
+    from euler_tpu.ops.pallas.pcg_kernel import _project_kernel
+
+    Y, X = fl_ref.shape
+    _grid_stage_sweeps(cfg, Y, X, C, dt_ref[0, 0], fl_ref, so_ref,
+                       pfl_ref, u_ref, v_ref, zu_ref, zv_ref,
+                       u2_ref, v2_ref)
+    # ut/vt live in u2/v2; _project_kernel updates them in place (its
+    # ut/vt inputs are documented as aliasing its u2/v2 outputs)
+    _project_kernel(cfg, C, fl_ref, so_ref, u2_ref, v2_ref, dt_ref,
+                    u2_ref, v2_ref, iters_ref, resid_ref, msq_ref,
+                    packed_ref, b_ref, p_ref, s_ref, as_ref)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def project_substep_jacobi(cfg: SimConfig, dt, dt_proj, u, v, fluid,
+                           prev_fluid, solid, interpret: bool = False):
+    """One-launch grid stage + Jacobi-PCG projection (same contract as
+    project_substep_mg)."""
+    from euler_tpu.ops.pallas.pcg_kernel import _chunk_rows
+
+    Y, X = cfg.ny, cfg.nx
+    f = jnp.float32
+    fl = fluid.astype(f)
+    so = solid.astype(f)
+    pfl = prev_fluid.astype(f)
+    dt_arr = jnp.full((1, 128), dt, f).at[0, 1].set(
+        jnp.asarray(dt_proj, f))
+
+    kernel = functools.partial(_substep_jacobi_kernel, cfg,
+                               _chunk_rows(Y, X))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    u2, v2, iters, resid, msq = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((Y, X), f),          # u2 (aliases u)
+            jax.ShapeDtypeStruct((Y, X), f),          # v2 (aliases v)
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),  # iters
+            jax.ShapeDtypeStruct((1, 1), f),          # resid
+            jax.ShapeDtypeStruct((1, 1), f),          # msq
+        ],
+        in_specs=[vmem] * 6,
+        out_specs=[vmem, vmem, smem, smem, smem],
+        input_output_aliases={4: 0, 5: 1},  # u -> u2, v -> v2
+        scratch_shapes=[pltpu.VMEM((Y, X), f)] * 7,  # zu zv packed b p s As
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dt_arr, fl, so, pfl, u.astype(f), v.astype(f))
+    return u2, v2, iters[0, 0], resid[0, 0], msq[0, 0]
+
+
+def substep_jacobi_fused_fits(cfg: SimConfig) -> bool:
+    """12 persistent f32 planes + chunk temps — true through ~1300²."""
+    return (
+        cfg.solver.preconditioner == "jacobi"
+        and cfg.solver.dtype == "float32"
+        and int(cfg.ny * cfg.nx * 4 * 13.0) <= _VMEM_BUDGET
     )

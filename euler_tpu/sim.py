@@ -53,13 +53,18 @@ def _use_fused_substep(cfg: SimConfig, scn: Scenario) -> bool:
         return False
     if not (cfg.solver.use_pallas and cfg.solver.fuse_projection):
         return False
-    if cfg.solver.preconditioner != "mg":
-        return False
     if scn.num_sources != 0:
         return False
-    from euler_tpu.ops.pallas.substep_kernel import substep_fused_fits
+    from euler_tpu.ops.pallas.substep_kernel import (
+        substep_fused_fits,
+        substep_jacobi_fused_fits,
+    )
 
-    return substep_fused_fits(cfg)
+    if cfg.solver.preconditioner == "mg":
+        return substep_fused_fits(cfg)
+    if cfg.solver.preconditioner == "jacobi":
+        return substep_jacobi_fused_fits(cfg)
+    return False
 
 
 def _use_fused_projection(cfg: SimConfig) -> bool:
@@ -131,9 +136,15 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         dt_proj = jnp.where(active, dt, jnp.asarray(jnp.inf, dt.dtype))
 
     if _use_fused_substep(cfg, scn):
-        from euler_tpu.ops.pallas.substep_kernel import project_substep_mg
+        from euler_tpu.ops.pallas.substep_kernel import (
+            project_substep_jacobi,
+            project_substep_mg,
+        )
 
-        u2, v2, _iters, _resid, msq = project_substep_mg(
+        fused = (project_substep_mg
+                 if cfg.solver.preconditioner == "mg"
+                 else project_substep_jacobi)
+        u2, v2, _iters, _resid, msq = fused(
             cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
             interpret=cfg.solver.pallas_interpret,
         )

@@ -144,3 +144,47 @@ def test_fused_substep_frame_parity():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v),
                                atol=5e-3)
+
+
+def test_fused_substep_jacobi_matches_fused_projection():
+    """The jacobi speed-mode variant: grid sweeps + the fused projection
+    kernel in one launch must match jnp grid ops + project_pallas."""
+    import dataclasses
+
+    from euler_tpu.ops.pallas.pcg_kernel import project_pallas
+    from euler_tpu.ops.pallas.substep_kernel import (
+        project_substep_jacobi,
+        substep_jacobi_fused_fits,
+    )
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver,
+                                        preconditioner="jacobi"))
+    assert substep_jacobi_fused_fits(cfg)
+    scn, st = _developed_state(cfg)
+    dt = jnp.float32(0.03)
+    fluid, prev = st.fluid, st.prev_fluid
+
+    u = extrapolate(cfg, st.u, fluid, prev, "u")
+    v = extrapolate(cfg, st.v, fluid, prev, "v")
+    u = zero_bounds(cfg, u, fluid, scn.solid, "u")
+    v = zero_bounds(cfg, v, fluid, scn.solid, "v")
+    ut = advect_u(cfg, u, v, fluid, dt)
+    vt = advect_v(cfg, u, v, fluid, dt)
+    vt = apply_body_forces(cfg, vt, dt)
+    ut = zero_bounds(cfg, ut, fluid, scn.solid, "u")
+    vt = zero_bounds(cfg, vt, fluid, scn.solid, "v")
+    u_ref, v_ref, it_ref, _res, msq_ref = project_pallas(
+        cfg, dt, ut, vt, fluid, scn.solid, interpret=True
+    )
+
+    u2, v2, iters, resid, msq = project_substep_jacobi(
+        cfg, dt, dt, st.u, st.v, fluid, prev, scn.solid, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref),
+                               atol=2e-3)
+    assert abs(int(iters) - int(it_ref)) <= 1
+    np.testing.assert_allclose(float(msq), float(msq_ref), rtol=1e-3)
