@@ -38,12 +38,25 @@ def main():
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas marker kernels")
-    ap.add_argument("--precon", default="jacobi", choices=["jacobi", "mg", "none"])
-    ap.add_argument("--tol-rel", type=float, default=1e-6,
+    # Default is the CONVERGED mode: in-kernel Galerkin MG-PCG to
+    # tol_rel 1e-4 (div_inf ~0.02 at 1024²) — the headline number and
+    # the solve-quality number are the same number.  --precon jacobi
+    # restores the round-1/2 "speed mode" (the reference's own
+    # give-up-at-100-iterations semantics, main.c:735-767), which the
+    # default run also measures and discloses alongside.
+    ap.add_argument("--precon", default="mg", choices=["jacobi", "mg", "none"])
+    ap.add_argument("--tol-rel", type=float, default=None,
                     help="relative stopping tolerance ||r|| <= max(tol, "
                          "tol_rel*||b||); the reference's absolute 1e-6 "
                          "presumes f64 CG and is unreachable in f32 at "
-                         "scale (0 restores it)")
+                         "scale (0 restores it).  Default: 1e-4 for mg "
+                         "(converged mode), 1e-6 otherwise (f32 floor)")
+    ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="after the headline (mg) measurement, also run "
+                         "the jacobi speed mode and report it as "
+                         "speed_mode_* fields (default: on for the plain "
+                         "single-instance mg benchmark)")
     ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="one-launch fused projection kernel (when it fits)")
@@ -80,27 +93,77 @@ def main():
     except Exception:
         pass  # older jax without the knobs
 
+    if args.tol_rel is None:
+        args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
+    if args.also_speed is None:
+        args.also_speed = (args.precon == "mg" and args.batch == 1
+                           and not args.rainbow and not args.cpu)
+
+    value, residual, active_substeps, dropped, cfg, precon_used = _measure(
+        args, args.precon, args.tol_rel)
+    if precon_used != args.precon:
+        # mg's single-launch kernel only fits VMEM through ~1200²; the
+        # measurement fell back to the jacobi speed kernel — disclose
+        args.precon = precon_used
+        args.tol_rel = 1e-6
+        args.also_speed = False
+
+    speed_fields = {}
+    if args.also_speed:
+        s_value, s_residual, _, _, _, _ = _measure(args, "jacobi", 1e-6)
+        speed_fields = {
+            # the round-1/2 headline config: reference iteration budget,
+            # solve gives up at 100 iterations (main.c:735-767 semantics)
+            "speed_mode_cell_steps_per_sec": s_value,
+            "speed_mode_div_inf": s_residual,
+            "speed_mode_precon": "jacobi",
+        }
+
+    _emit(args, cfg, value, residual, active_substeps, dropped,
+          speed_fields)
+
+
+def _measure(args, precon, tol_rel):
+    import time
+
+    import jax
+
     from euler_tpu.config import SimConfig, SolverConfig
     from euler_tpu.core.presets import dam_break
     from euler_tpu.sim import step_frame_jit
 
-    cfg = SimConfig(
-        nx=args.size,
-        ny=args.size,
-        marker_layout=args.layout,
-        marker_tile=tuple(int(v) for v in args.marker_tile.split("x")),
-        rainbow=args.rainbow,
-        use_pallas_markers=args.pallas and not args.cpu,
-        solver=SolverConfig(
-            max_iterations=args.pcg_iters,
-            tol=1e-6,
-            tol_rel=args.tol_rel,
-            dtype="float32",
-            preconditioner=args.precon,
-            use_pallas=args.pallas and not args.cpu,
-            fuse_projection=args.fuse_projection,
-        ),
-    )
+    frames, warmup_frames = args.frames, args.warmup_frames
+
+    def build_cfg(precon, tol_rel):
+        return SimConfig(
+            nx=args.size,
+            ny=args.size,
+            marker_layout=args.layout,
+            marker_tile=tuple(int(v) for v in args.marker_tile.split("x")),
+            rainbow=args.rainbow,
+            use_pallas_markers=args.pallas and not args.cpu,
+            solver=SolverConfig(
+                max_iterations=args.pcg_iters,
+                tol=1e-6,
+                tol_rel=tol_rel,
+                dtype="float32",
+                preconditioner=precon,
+                use_pallas=args.pallas and not args.cpu,
+                fuse_projection=args.fuse_projection,
+            ),
+        )
+
+    cfg = build_cfg(precon, tol_rel)
+    if precon == "mg" and cfg.solver.use_pallas:
+        from euler_tpu.ops.pallas.mg_kernel import mg_pallas_fits
+
+        if not mg_pallas_fits(cfg):
+            # beyond the MG kernel's VMEM ceiling the XLA multigrid loop
+            # is launch-bound (minutes per frame) — fall back to the
+            # jacobi speed kernel rather than silently measuring it
+            precon, tol_rel = "jacobi", 1e-6
+            cfg = build_cfg(precon, tol_rel)
+    frames_per_call = args.frames_per_call
     if args.batch > 1:
         # B independent instances stepped by ONE compiled per-frame
         # program, round-robin host dispatch (pipelined).  vmap over the
@@ -111,7 +174,7 @@ def main():
         # of the full step remains supported (parallel/batch.py,
         # test_parallel.py) and is what a multi-chip data-parallel mesh
         # uses — this is purely the single-chip benchmark harness.
-        args.frames_per_call = 1
+        frames_per_call = 1
         from euler_tpu.parallel.spatial import to_spatial
 
         pairs = [dam_break(cfg, seed=i) for i in range(args.batch)]
@@ -129,22 +192,20 @@ def main():
             from euler_tpu.parallel.spatial import to_spatial
 
             state = to_spatial(cfg, state)
-        if args.frames_per_call > 1:
-            from functools import partial as _partial
-
-            import jax as _jax
-
+        if frames_per_call > 1:
             from euler_tpu.sim import step_frame
 
-            def _chain(scn, state, _n=args.frames_per_call):
+            def _chain(scn, state, _n=frames_per_call):
                 for _ in range(_n):
                     state = step_frame(cfg, scn, state)
                 return state
 
-            step_fn = _jax.jit(_chain)
-            assert args.frames % args.frames_per_call == 0
-            args.frames //= args.frames_per_call
-            args.warmup_frames = max(1, args.warmup_frames // args.frames_per_call)
+            step_fn = jax.jit(_chain)
+            if frames % frames_per_call:
+                frames = max(frames_per_call,
+                             frames - frames % frames_per_call)
+            frames //= frames_per_call
+            warmup_frames = max(1, warmup_frames // frames_per_call)
         else:
             step_fn = lambda scn, state: step_frame_jit(cfg, scn, state)
 
@@ -158,30 +219,30 @@ def main():
     # frames measures an order of magnitude slower on the tunneled
     # runtime than the identical per-frame program.)
     if args.batch > 1:
-        for _ in range(max(args.warmup_frames, 1)):
+        for _ in range(max(warmup_frames, 1)):
             states = [step_one(s_, st) for s_, st in zip(scns, states)]
         for st in states:
             sync(st)
         t0 = time.perf_counter()
-        for _ in range(args.frames):
+        for _ in range(frames):
             states = [step_one(s_, st) for s_, st in zip(scns, states)]
         for st in states:
             sync(st)
         elapsed = time.perf_counter() - t0
         state = states[0]
     else:
-        for _ in range(max(args.warmup_frames, 1)):
+        for _ in range(max(warmup_frames, 1)):
             state = step_fn(scn, state)
         sync(state)
 
         t0 = time.perf_counter()
-        for _ in range(args.frames):
+        for _ in range(frames):
             state = step_fn(scn, state)
         sync(state)
         elapsed = time.perf_counter() - t0
 
     cells = cfg.nx * cfg.ny
-    total_frames = args.frames * max(args.frames_per_call, 1)
+    total_frames = frames * max(frames_per_call, 1)
     cell_steps = cells * cfg.max_substeps * total_frames * args.batch
     value = cell_steps / elapsed
 
@@ -216,6 +277,11 @@ def main():
         )
         active_substeps = int(n_active)
 
+    return value, residual, active_substeps, dropped, cfg, precon
+
+
+def _emit(args, cfg, value, residual, active_substeps, dropped,
+          speed_fields):
     suffix = f" x{args.batch}" if args.batch > 1 else ""
     if args.rainbow:
         suffix += " rainbow"
@@ -242,6 +308,8 @@ def main():
                 # layout's documented deviation from main.c:92-97) —
                 # continuously measured, not a one-off claim
                 "dropped_markers": dropped,
+                "tol_rel": args.tol_rel,
+                **speed_fields,
             }
         )
     )
