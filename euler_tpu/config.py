@@ -163,6 +163,12 @@ class SimConfig:
     # A/B at 1024² (2026-08-17): 32x512 2.445e8, 64x512 2.51e8,
     # 128x512 2.561e8.  Values fall back to divisors of the grid.
     marker_tile: tuple = (128, 512)
+    # Fused marker kernel: when a tile's live-slot bound kmax is
+    # <= slots_per_cell // 2, run a half-depth re-binning specialisation
+    # (exact — slots beyond kmax are dead everywhere in the window).
+    # Roughly halves the insertion (view, slot) pairs on settled flows
+    # where most cells hold their seeded 4 markers.
+    marker_kmax_specialize: bool = True
     # Fused Pallas grid stage (extrapolate->zero->advect->gravity->zero).
     # Measured ~4% SLOWER than the XLA op sequence at 1024² (the 7-deep
     # row-view materialisations outweigh the launch savings) — kept as

@@ -305,20 +305,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         hx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
         hy = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
               + (row0 - 1) + row_off)
-        # movement CODE per marched slot: (movy+1)*3 + (movx+1) in 0..8
-        # (CFL bounds movement to one cell) — per-view selection below is
-        # then ONE compare against the view's constant instead of two
-        # compares + and per (view, slot)
         hcnt = csc[cslot, 0:TH, 0:TW]
-        movc = []
-        for k in range(K):
-            mpx = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
-            mpy = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
-            mx = jnp.floor(mpx * inv_h).astype(jnp.int32) - hx
-            my = jnp.floor(mpy * inv_h).astype(jnp.int32) - hy
-            # fold liveness in: dead slots get code -1 (matches no view)
-            movc.append(jnp.where(k < hcnt, (my + 1) * 3 + (mx + 1),
-                                  jnp.int32(-1)))
 
         # Insertion is SELECTION, not accumulation: destination ranks are
         # consecutive (run increments once per candidate across the whole
@@ -329,113 +316,150 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         # (count = min(run, K), drop = run - count at live cells) instead
         # of per-(view, slot) bookkeeping.  All outputs bitwise equal to
         # the jnp path (tests/test_pallas_markers.py).
-        run = jnp.zeros((TY, TX), jnp.int32)
-        acc_px = [jnp.zeros((TY, TX), f) for _ in range(K)]
-        acc_py = [jnp.zeros((TY, TX), f) for _ in range(K)]
+        #
+        # KE parametrises the SOURCE-slot depth: when the tile's kmax is
+        # <= K//2 every slot k >= KE is dead everywhere in the window, so
+        # a half-depth re-binning is exact at roughly half the (view,
+        # slot) insertion pairs — the common case on settled flows where
+        # most cells hold their seeded 4 markers (K defaults to 8).
+        def rebin(KE):
+            # movement CODE per marched slot: (movy+1)*3 + (movx+1) in
+            # 0..8 (CFL bounds movement to one cell) — per-view selection
+            # is then ONE compare against the view's constant instead of
+            # two compares + and per (view, slot)
+            movc = []
+            for k in range(KE):
+                mpx = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
+                mpy = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
+                mx = jnp.floor(mpx * inv_h).astype(jnp.int32) - hx
+                my = jnp.floor(mpy * inv_h).astype(jnp.int32) - hy
+                # dead slots get code -1 (matches no view)
+                movc.append(jnp.where(k < hcnt, (my + 1) * 3 + (mx + 1),
+                                      jnp.int32(-1)))
 
-        # ---- own cell first (offset (0, 0), OFFSETS_OWN_FIRST[0]) ----
-        # Processed before any arrival, so a stayer's destination rank is
-        # at most its own slot index (triangular bound), and when NO
-        # live marker in the tile leaves its cell, slot k maps to slot k
-        # exactly (front-compaction makes the rank prefix the identity).
-        scnt0 = csc[cslot, 1 : 1 + TY, 1 : 1 + TX]
-        spx0 = [ssc[bslot * 2 * K + k, 1 : 1 + TY, 1 : 1 + TX]
-                for k in range(K)]
-        spy0 = [ssc[bslot * 2 * K + K + k, 1 : 1 + TY, 1 : 1 + TX]
-                for k in range(K)]
-        stays = []
-        any_leaver = None
-        for k in range(K):
-            mc = movc[k][1 : 1 + TY, 1 : 1 + TX]
-            stayk = mc == 4  # code (0, 0); dead slots are -1
-            stays.append(stayk)
-            leaverk = (mc >= 0) & ~stayk
-            any_leaver = leaverk if any_leaver is None else (any_leaver | leaverk)
+            run = jnp.zeros((TY, TX), jnp.int32)
+            acc_px = [jnp.zeros((TY, TX), f) for _ in range(K)]
+            acc_py = [jnp.zeros((TY, TX), f) for _ in range(K)]
 
-        def own_fast(carry):
-            # no leaver anywhere in the tile: every live slot keeps its
-            # marker in place (rank k == slot k)
-            run, acc_px, acc_py = carry
-            nd = ~dead
-            for k in range(K):
-                okk = (k < scnt0) & nd
-                acc_px[k] = jnp.where(okk, spx0[k], acc_px[k])
-                acc_py[k] = jnp.where(okk, spy0[k], acc_py[k])
-            return run + scnt0, acc_px, acc_py
+            # ---- own cell first (offset (0, 0), OFFSETS_OWN_FIRST[0]):
+            # processed before any arrival, so a stayer's destination
+            # rank is at most its own slot index (triangular bound), and
+            # when NO live marker in the tile leaves its cell, slot k
+            # maps to slot k exactly (front-compaction makes the rank
+            # prefix the identity) ----
+            scnt0 = csc[cslot, 1 : 1 + TY, 1 : 1 + TX]
+            spx0 = [ssc[bslot * 2 * K + k, 1 : 1 + TY, 1 : 1 + TX]
+                    for k in range(KE)]
+            spy0 = [ssc[bslot * 2 * K + K + k, 1 : 1 + TY, 1 : 1 + TX]
+                    for k in range(KE)]
+            stays = []
+            any_leaver = None
+            for k in range(KE):
+                mc = movc[k][1 : 1 + TY, 1 : 1 + TX]
+                stayk = mc == 4  # code (0, 0); dead slots are -1
+                stays.append(stayk)
+                leaverk = (mc >= 0) & ~stayk
+                any_leaver = (leaverk if any_leaver is None
+                              else (any_leaver | leaverk))
 
-        def own_full(carry):
-            run, acc_px, acc_py = carry
-            nd = ~dead
-            for k in range(K):
-                snd = stays[k] & nd
-                for d in range(k + 1):  # triangular bound: rank <= k
-                    m = snd & (run == d)
-                    acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
-                    acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
-                run = run + stays[k].astype(jnp.int32)
-            return run, acc_px, acc_py
+            def own_fast(carry):
+                # no leaver anywhere in the tile: every live slot keeps
+                # its marker in place (rank k == slot k)
+                run, acc_px, acc_py = carry
+                nd = ~dead
+                for k in range(KE):
+                    okk = (k < scnt0) & nd
+                    acc_px[k] = jnp.where(okk, spx0[k], acc_px[k])
+                    acc_py[k] = jnp.where(okk, spy0[k], acc_py[k])
+                return run + scnt0, acc_px, acc_py
 
-        run, acc_px, acc_py = jax.lax.cond(
-            jnp.any(any_leaver), own_full, own_fast,
-            (run, acc_px, acc_py),
-        )
+            def own_full(carry):
+                run, acc_px, acc_py = carry
+                nd = ~dead
+                for k in range(KE):
+                    snd = stays[k] & nd
+                    for d in range(k + 1):  # triangular bound: rank <= k
+                        m = snd & (run == d)
+                        acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
+                        acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
+                    run = run + stays[k].astype(jnp.int32)
+                return run, acc_px, acc_py
 
-        # ---- the 8 neighbour offsets, lexicographic (matching
-        # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dy, dx) == (0, 0):
-                    continue
-                ys, xs = 1 - dy, 1 - dx
-                vc = (dy + 1) * 3 + (dx + 1)
-                # ONE compare per (view, slot): liveness and direction
-                # are both folded into the movement code
-                sels = [movc[k][ys : ys + TY, xs : xs + TX] == vc
-                        for k in range(K)]
-                any_sel = sels[0]
-                for s in sels[1:]:
-                    any_sel = any_sel | s
+            run, acc_px, acc_py = jax.lax.cond(
+                jnp.any(any_leaver), own_full, own_fast,
+                (run, acc_px, acc_py),
+            )
 
-                def insert_view(carry, _ys=ys, _xs=xs, _sels=sels):
-                    run, acc_px, acc_py = carry
-                    nd = ~dead
-                    for k in range(K):
-                        spx = ssc[bslot * 2 * K + k,
-                                  _ys : _ys + TY, _xs : _xs + TX]
-                        spy = ssc[bslot * 2 * K + K + k,
-                                  _ys : _ys + TY, _xs : _xs + TX]
-                        snd = _sels[k] & nd
-                        for d in range(K):
-                            m = snd & (run == d)
-                            acc_px[d] = jnp.where(m, spx, acc_px[d])
-                            acc_py[d] = jnp.where(m, spy, acc_py[d])
-                        run = run + _sels[k].astype(jnp.int32)
-                    return run, acc_px, acc_py
+            # ---- the 8 neighbour offsets, lexicographic (matching
+            # refresh_marker_counts_slots' OFFSETS_OWN_FIRST tail) ----
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    ys, xs = 1 - dy, 1 - dx
+                    vc = (dy + 1) * 3 + (dx + 1)
+                    # ONE compare per (view, slot): liveness and
+                    # direction are both folded into the movement code
+                    sels = [movc[k][ys : ys + TY, xs : xs + TX] == vc
+                            for k in range(KE)]
+                    any_sel = sels[0]
+                    for s in sels[1:]:
+                        any_sel = any_sel | s
 
-                # view-level skip: no marker of these source cells lands
-                # in this tile with this offset -> the whole insertion
-                # pass is a no-op (run unchanged, accs unchanged)
-                run, acc_px, acc_py = jax.lax.cond(
-                    jnp.any(any_sel),
-                    insert_view,
-                    lambda carry: carry,
-                    (run, acc_px, acc_py),
-                )
+                    def insert_view(carry, _ys=ys, _xs=xs, _sels=sels):
+                        run, acc_px, acc_py = carry
+                        nd = ~dead
+                        for k in range(KE):
+                            spx = ssc[bslot * 2 * K + k,
+                                      _ys : _ys + TY, _xs : _xs + TX]
+                            spy = ssc[bslot * 2 * K + K + k,
+                                      _ys : _ys + TY, _xs : _xs + TX]
+                            snd = _sels[k] & nd
+                            for d in range(K):
+                                m = snd & (run == d)
+                                acc_px[d] = jnp.where(m, spx, acc_px[d])
+                                acc_py[d] = jnp.where(m, spy, acc_py[d])
+                            run = run + _sels[k].astype(jnp.int32)
+                        return run, acc_px, acc_py
 
-        # ---- finalise: ranks are consecutive, so accepted = min(run, K)
-        # at live cells; the remainder is the slot-capacity drop (at dead
-        # cells the difference is the reference's sink/solid deletions —
-        # main.c:109-113 — not drops).  A [TY, TX] plane rather than a
-        # scalar so a sharded caller can crop redundant halo cells.
-        accepted = jnp.minimum(run, K)
-        count = jnp.where(dead, 0, accepted)
-        drop = jnp.where(dead, 0, run - accepted)
+                    # view-level skip: no marker of these source cells
+                    # lands in this tile with this offset -> the whole
+                    # insertion pass is a no-op
+                    run, acc_px, acc_py = jax.lax.cond(
+                        jnp.any(any_sel),
+                        insert_view,
+                        lambda carry: carry,
+                        (run, acc_px, acc_py),
+                    )
 
-        for d in range(K):
-            oslots_ref[d] = acc_px[d]
-            oslots_ref[K + d] = acc_py[d]
-        ocnt_ref[:] = count
-        odrop_ref[:] = drop
+            # ---- finalise: ranks are consecutive, so accepted =
+            # min(run, K) at live cells; the remainder is the
+            # slot-capacity drop (at dead cells the difference is the
+            # reference's sink/solid deletions — main.c:109-113 — not
+            # drops).  A [TY, TX] plane rather than a scalar so a
+            # sharded caller can crop redundant halo cells. ----
+            accepted = jnp.minimum(run, K)
+            count = jnp.where(dead, 0, accepted)
+            drop = jnp.where(dead, 0, run - accepted)
+
+            for d in range(K):
+                oslots_ref[d] = acc_px[d]
+                oslots_ref[K + d] = acc_py[d]
+            ocnt_ref[:] = count
+            odrop_ref[:] = drop
+
+        if cfg.marker_kmax_specialize and K >= 2:
+            small = kmax <= K // 2
+
+            @pl.when(small)
+            def _small():
+                rebin(K // 2)
+
+            @pl.when(jnp.logical_not(small))
+            def _full():
+                rebin(K)
+        else:
+            rebin(K)
         return 0
 
     jax.lax.cond(live(n), work_tile, skip_tile, 0)

@@ -198,3 +198,68 @@ def test_pallas_pcg_chunked_sweeps(monkeypatch):
     pcg_kernel.solve_pressure_pallas.clear_cache()
     assert int(it1) == int(it4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p4), atol=1e-4)
+
+
+def test_fused_marker_pass_kmax_branches():
+    """Both kmax-specialisation branches of the fused kernel (half-depth
+    when the tile's live-slot bound <= K//2, full depth otherwise) must
+    match the jnp pipeline exactly.  Constructed states pin each branch:
+    a 4-markers-per-cell state stays in the half branch; packing cells to
+    K markers forces the full branch."""
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+    from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
+
+    cfg = SimConfig(
+        nx=64, ny=64, marker_layout="slots",
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    scn, st = dam_break(cfg)
+    for _ in range(2):
+        st = step_frame_jit(cfg, scn, st)
+    K, Y, X = cfg.slots_per_cell, cfg.ny, cfg.nx
+
+    # pack: duplicate the first 4 slots (jittered) into slots 4..7 at
+    # every cell that holds 4 markers, forcing kmax == K
+    slots = np.asarray(st.markers.reshape(2 * K, Y, X)).copy()
+    cnt = np.asarray(st.marker_count).copy()
+    full_cells = cnt == 4
+    h = cfg.side_length
+    for k in range(4, K):
+        for comp in (0, 1):
+            src = slots[comp * K + (k - 4)]
+            slots[comp * K + k] = np.where(
+                full_cells, np.nextafter(src, src + h), slots[comp * K + k]
+            )
+    cnt = np.where(full_cells, K, cnt)
+    valid = (np.arange(K)[:, None, None] < cnt[None]).reshape(-1)
+    st2 = st.replace(
+        markers=jnp.asarray(slots).reshape(st.markers.shape),
+        marker_count=jnp.asarray(cnt),
+        alive=jnp.asarray(valid).reshape(st.alive.shape),
+        alive_count=jnp.asarray(int(cnt.sum()), jnp.int32),
+    )
+    assert int(np.max(cnt)) == K  # the full branch is the one under test
+
+    dt = jnp.float32(0.035)
+    ref = refresh_marker_counts_slots(
+        cfg, scn, advect_markers_slots(cfg, scn, st2, dt)
+    )
+    dead = (scn.sink | scn.solid).astype(jnp.float32)
+    oslots, count, dropped = march_rebin_pallas(
+        cfg, st2.u, st2.v, st2.fluid, scn.solid,
+        st2.markers.reshape(2 * K, Y, X), dt,
+        st2.marker_count, interpret=True, dead=dead,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(count), np.asarray(ref.marker_count)
+    )
+    assert int(dropped.sum()) == (
+        int(ref.dropped_markers) - int(st2.dropped_markers)
+    )
+    opx, opy = oslots[:K], oslots[K:]
+    rpx, rpy, rva = slot_views(cfg, ref)
+    m = np.asarray(rva)
+    np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(opy)[m], np.asarray(rpy)[m],
+                               atol=1e-4)
