@@ -221,12 +221,20 @@ def run_interactive(args):
                 if temp_unpause:
                     temp_unpause -= 1
 
-            # pacing before draw, as the reference orders it (main.c:1034-1037)
+            # pacing before draw, as the reference orders it
+            # (main.c:1034-1037), replicating wait_until exactly
+            # (misc/time.c:17-31): sleep the remainder of the period
+            # measured from the carried start, SKIP sleeping entirely
+            # when >= 1 s has already elapsed (the tv_sec == 0 guard),
+            # and carry the post-sleep clock as the next start.
             now = time.monotonic()
-            wait = frame_period - (now - start)
-            if wait > 0:
-                time.sleep(wait)
-            start = time.monotonic()
+            elapsed = now - start
+            if elapsed < 1.0:
+                wait = frame_period - elapsed
+                if wait > 0:
+                    time.sleep(wait)
+                    now = time.monotonic()
+            start = now
 
             # grids larger than the window: pooled on-device gather
             # (render/downsample.py) instead of the reference's clipping
