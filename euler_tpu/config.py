@@ -163,6 +163,10 @@ class SimConfig:
     # A/B at 1024² (2026-08-17): 32x512 2.445e8, 64x512 2.51e8,
     # 128x512 2.561e8.  Values fall back to divisors of the grid.
     marker_tile: tuple = (128, 512)
+    # Run the marker Pallas kernels in interpret mode (CPU testing of
+    # the jit-level dispatch paths; solver kernels have the analogous
+    # SolverConfig.pallas_interpret).
+    pallas_interpret: bool = False
     # Fused marker kernel: when a tile's live-slot bound kmax is
     # <= slots_per_cell // 2, run a half-depth re-binning specialisation
     # (exact — slots beyond kmax are dead everywhere in the window).

@@ -150,7 +150,7 @@ def advect_markers_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt):
         px, py, _valid = slot_views(cfg, state)
         opx, opy = advect_markers_pallas(
             cfg, state.u, state.v, state.fluid, scn.solid, px, py, dt,
-            state.marker_count,
+            state.marker_count, cfg.pallas_interpret,
         )
         new_markers, _ = pack_slots(state, opx, opy)
         return state.replace(markers=new_markers)
@@ -259,7 +259,8 @@ def refresh_marker_counts_slots(cfg: SimConfig, scn: Scenario, state: FluidState
 
         dead = (scn.sink | scn.solid).astype(px.dtype)
         opx, opy, ova, count, dropped = rebin_markers_pallas(
-            cfg, px, py, valid.astype(px.dtype), dead
+            cfg, px, py, valid.astype(px.dtype), dead,
+            cfg.pallas_interpret,
         )
         markers, alive = pack_slots(state, opx, opy, ova != 0)
         return state.replace(
@@ -360,7 +361,7 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         dead = (scn.sink | scn.solid).astype(slots.dtype)
         oslots, count, dropped = march_rebin_pallas(
             cfg, state.u, state.v, state.fluid, scn.solid, slots, dt,
-            state.marker_count, dead=dead,
+            state.marker_count, cfg.pallas_interpret, dead=dead,
         )
         return finish_marker_pass(cfg, state, oslots, count, dropped,
                                   defer_alive)

@@ -518,7 +518,7 @@ def march_rebin_pallas(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         # overflows XLA's 16 MB stack limit at 1024²
         outs = [call(*at(i)) for i in range(axis_size)]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-        return stacked, (True, True)
+        return stacked, (True, True, True)
 
     return call(u, v, fluid, solid, slots, dt, count, dead, row_offset)
 
