@@ -156,11 +156,13 @@ def _measure(args, precon, tol_rel):
     cfg = build_cfg(precon, tol_rel)
     if precon == "mg" and cfg.solver.use_pallas:
         from euler_tpu.ops.pallas.mg_kernel import mg_pallas_fits
+        from euler_tpu.ops.pallas.mg_stream_kernel import stream_mg_fits
 
-        if not mg_pallas_fits(cfg):
-            # beyond the MG kernel's VMEM ceiling the XLA multigrid loop
-            # is launch-bound (minutes per frame) — fall back to the
-            # jacobi speed kernel rather than silently measuring it
+        if not (mg_pallas_fits(cfg) or stream_mg_fits(cfg)):
+            # no single-launch MG form fits this geometry and the XLA
+            # multigrid loop is launch-bound (minutes per frame) — fall
+            # back to the jacobi speed kernel rather than silently
+            # measuring it
             precon, tol_rel = "jacobi", 1e-6
             cfg = build_cfg(precon, tol_rel)
     frames_per_call = args.frames_per_call

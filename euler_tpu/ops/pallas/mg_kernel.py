@@ -128,15 +128,20 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
                   cheby_degree, coarse_degree, w, w_depth, *unpacked)
 
 
-def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
-                  tol_rel: float, cheby_degree: int, coarse_degree: int,
+def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                   w: int, w_depth: int,
                   coefs_ref, packed0, coef, Rx, RxT,
-                  p_ref, iters_ref, resid_ref, r_ref,
-                  z_ref, cd_ref, cr_ref, s_ref, as_ref,
                   x_l, b_l, d_l, rr_l):
-    """MG-preconditioned CG given the RHS already in r_ref (which is
-    consumed in place as the residual).  Writes p/iters/resid."""
+    """Build the in-kernel multigrid cycle over VMEM-resident levels.
+
+    Returns (cycle, apply_rows): cycle(0) computes x_l[0] ~= A^{-1}
+    b_l[0] (truncated-W, Chebyshev smoothing; see module docstring);
+    apply_rows(l, ref, r0, r1) is the masked per-level operator.
+
+    packed0 may be None: then level 0 uses the edge-weight form and
+    coef[0] must hold its (c, e, n) refs — the configuration the
+    HBM-streamed solver uses, whose resident ROOT level is itself a
+    Galerkin coarse level (mg_stream_kernel.py)."""
     L = len(shapes)
     f32 = jnp.float32
 
@@ -173,7 +178,7 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
         levels >= 1: the edge-weight form, intrinsically masked (all
         coefficients are zero at and toward inactive cells)."""
         x = x_ref_l[r0:r1]
-        if l == 0:
+        if l == 0 and packed0 is not None:
             fl, a = decode0(r0, r1)
             up = rows(x_ref_l, r0 + 1, r1 + 1, 0)
             dn = rows(x_ref_l, r0 - 1, r1 - 1, 0)
@@ -281,7 +286,7 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
             xe = jnp.dot(ew, RxT[l][...], preferred_element_type=f32)
             out = jnp.stack([xe, xe], axis=1).reshape(2 * Cc, shapes[l][1])
             fr0, fr1 = 2 * rc0, 2 * rc1
-            if l == 0:
+            if l == 0 and packed0 is not None:
                 flf, _ = decode0(fr0, fr1)
                 out = flf * out
             x_l[l][fr0:fr1] = x_l[l][fr0:fr1] + out
@@ -312,6 +317,24 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
             # emits each level's body once
             jax.lax.fori_loop(0, visits, visit, None)
         cheby(l, cheby_degree, from_zero=False)
+
+    return cycle, apply_rows
+
+
+def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
+                  tol_rel: float, cheby_degree: int, coarse_degree: int,
+                  w: int, w_depth: int,
+                  coefs_ref, packed0, coef, Rx, RxT,
+                  p_ref, iters_ref, resid_ref, r_ref,
+                  z_ref, cd_ref, cr_ref, s_ref, as_ref,
+                  x_l, b_l, d_l, rr_l):
+    """MG-preconditioned CG given the RHS already in r_ref (which is
+    consumed in place as the residual).  Writes p/iters/resid."""
+    f32 = jnp.float32
+    cycle, apply_rows = make_mg_cycle(
+        shapes, chunks, cheby_degree, coarse_degree, w, w_depth,
+        coefs_ref, packed0, coef, Rx, RxT, x_l, b_l, d_l, rr_l,
+    )
 
     # ---- PCG (stopping rule of main.c:738-767) ----
     Y0, X0 = shapes[0]

@@ -185,6 +185,15 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
 
         if solid is not None and mg_pallas_fits(cfg):
             return solve_pressure_mg_pallas(cfg, b, a_diag, fluid, solid)
+        from euler_tpu.ops.pallas.mg_stream_kernel import (
+            solve_pressure_mg_stream,
+            stream_mg_fits,
+        )
+
+        if stream_mg_fits(cfg):
+            # beyond the resident MG kernel's VMEM ceiling: one-launch
+            # MG-PCG with the fine level streamed from HBM
+            return solve_pressure_mg_stream(cfg, b, a_diag, fluid, solid)
         from euler_tpu.ops.pallas.pcg_stream_kernel import (
             solve_pressure_stream,
             stream_solver_fits,
