@@ -245,9 +245,9 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
             fl, _ = decode(pk)
             ec = x_l[0][m * (BH // F):(m + 1) * (BH // F)]
             xe = jnp.dot(ec, RxFT[...], preferred_element_type=f32)
-            up = jnp.broadcast_to(
-                xe[:, None, :], (BH // F, F, X)
-            ).reshape(BH, X)
+            # row duplication via stack+reshape (the lowering mg_kernel's
+            # prolong_add already exercises) rather than broadcast_to
+            up = jnp.stack([xe] * F, axis=1).reshape(BH, X)
             wins[buf, 5, sl] = it0 * wins[buf, 1, sl] + fl * up
 
         sweep([(0, packed_hbm, False), (1, r_hbm, False)],
