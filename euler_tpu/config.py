@@ -167,6 +167,13 @@ class SimConfig:
     # the jit-level dispatch paths; solver kernels have the analogous
     # SolverConfig.pallas_interpret).
     pallas_interpret: bool = False
+    # Persistent padded slot store: keep the slot planes padded to
+    # [2K, Y+16, X+256] across the frame's substeps (padded once per
+    # frame) so the fused marker kernel's windows read aligned without
+    # the per-substep jnp.pad copies; tile outputs land by manual
+    # (8, 128)-aligned write DMA.  Flagship single-device path only
+    # (no sources/rainbow/sharding).  Default off until measured.
+    marker_padded_store: bool = False
     # Fused marker kernel: when a tile's live-slot bound kmax is
     # <= slots_per_cell // 2, run a half-depth re-binning specialisation
     # (exact — slots beyond kmax are dead everywhere in the window).

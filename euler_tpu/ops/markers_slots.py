@@ -352,9 +352,26 @@ def marker_pass_slots(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
     reads alive until it re-derives it (sim.step_frame does, once per
     frame instead of once per substep)."""
     if cfg.use_pallas_markers and cfg.fuse_marker_pass:
+        Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+        if state.markers.ndim == 3:
+            # persistent padded store [2K, Y+16, X+256] (sim.step_frame
+            # pads once per frame; marker_padded_store) — no per-substep
+            # jnp.pad of the slot planes
+            from euler_tpu.ops.pallas.marker_fused_kernel import (
+                march_rebin_padded,
+            )
+
+            assert defer_alive, "padded store requires the deferred-alive path"
+            dead = (scn.sink | scn.solid).astype(state.markers.dtype)
+            oslots, count, dropped = march_rebin_padded(
+                cfg, state.u, state.v, state.fluid, scn.solid,
+                state.markers, dt, state.marker_count, dead=dead,
+                interpret=cfg.pallas_interpret,
+            )
+            return finish_marker_pass(cfg, state, oslots, count, dropped,
+                                      defer_alive)
         from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
 
-        Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
         # [2K, Y, X] is a FREE reshape of both store layouts (flat [2, M]
         # and spatial [2, K, Y, X]) — no slice/stack HBM traffic
         slots = state.markers.reshape(2 * K, Y, X)

@@ -87,13 +87,26 @@ def _time_to(p0, p1, vel):
     return jnp.where(nz, (p1 - p0) / jnp.where(nz, vel, 1.0), _FLT_MAX)
 
 
-def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
+def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
+                  padded_out, nj, nt, clamp_ny,
                   dt_ref, dead_ref, cnt_hbm, grid_hbm, slots_hbm,
                   oslots_ref, ocnt_ref, odrop_ref,
-                  csc, gsc, ssc, sems):
-    """csc: [3, RW, LW] count windows; gsc: [2*5, RW, LW] grid windows;
-    ssc: [2*2K, RW, LW] slot windows; sems: 7 DMA semaphores
+                  csc, gsc, ssc, sems, *opt):
+    """csc: [3, RWS, LWS] count windows; gsc: [2*5, RW, LW] grid
+    windows; ssc: [2*2K, RWS, LWS] slot windows; sems: 7 DMA semaphores
     (0-2 count, 3-4 grid, 5-6 slots).
+
+    (SB, SBL) is the halo-tile origin inside a count/slot window:
+    (0, 0) for the per-substep-padded layout (interior at (1, 1) of the
+    padded array, windows starting one row/lane before it), (7, 127) for
+    the PERSISTENT padded store (interior at (8, 128) so every tile's
+    OUTPUT offset is (8, 128)-aligned for the manual write DMA;
+    marker_padded_store).  padded_out: oslots_ref is a whole padded
+    [2K, Yp, Xp] HBM ref written by per-tile DMA from the `opt` scratch
+    (osl [2, 2K, TY, TX], osem DMA (2,), olast SMEM (2,) i32 = last tile
+    index holding an outstanding DMA on that buffer, -1 none); slot pads
+    may hold GARBAGE — a pad cell's count is zero (the count plane is
+    zero-padded each substep), so its slots are never read.
 
     clamp_ny: GLOBAL row count for the interpolation clamps — equals
     cfg.ny single-device; under row-sharding (parallel/pallas_shard)
@@ -115,7 +128,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
     def count_dma(m):
         r0, c0 = origin(m)
         return pltpu.make_async_copy(
-            cnt_hbm.at[pl.ds(r0, RW), pl.ds(c0, LW)],
+            cnt_hbm.at[pl.ds(r0, RWS), pl.ds(c0, LWS)],
             csc.at[m % 3], sems.at[m % 3],
         )
 
@@ -129,7 +142,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
     def slots_dma(m):
         r0, c0 = origin(m)
         return pltpu.make_async_copy(
-            slots_hbm.at[:, pl.ds(r0, RW), pl.ds(c0, LW)],
+            slots_hbm.at[:, pl.ds(r0, RWS), pl.ds(c0, LWS)],
             ssc.at[pl.ds((m % 2) * 2 * K, 2 * K)], sems.at[5 + m % 2],
         )
 
@@ -137,13 +150,28 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         # reduce over the true halo rows/cols only: the DMA window
         # over-reads real rows below the tile (alignment), and counting
         # those would make air tiles above a fluid surface do full work
-        return jnp.any(csc[m % 3, 0:TH, 0:TW] > 0)
+        return jnp.any(csc[m % 3, SB:SB + TH, SBL:SBL + TW] > 0)
+
+    if padded_out:
+        osl, osem, olast = opt
+
+        def out_dma(m):
+            r0 = (m // nj) * TY
+            c0 = (m % nj) * TX
+            return pltpu.make_async_copy(
+                osl.at[m % 2],
+                oslots_ref.at[:, pl.ds(8 + r0, TY), pl.ds(128 + c0, TX)],
+                osem.at[m % 2],
+            )
 
     # ---- pipeline bookkeeping -------------------------------------
     @pl.when(n == 0)
     def _prologue():
         count_dma(0).start()
         count_dma(0).wait()
+        if padded_out:
+            olast[0] = jnp.int32(-1)
+            olast[1] = jnp.int32(-1)
 
         @pl.when(live(0))
         def _():
@@ -173,9 +201,12 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
     bslot = n % 2
 
     def skip_tile(_):
-        zf = jnp.zeros((TY, TX), f)
-        for d in range(2 * K):
-            oslots_ref[d] = zf
+        if not padded_out:
+            # padded mode: the tile's output slots stay whatever the
+            # fresh buffer holds — its counts are zero, so never read
+            zf = jnp.zeros((TY, TX), f)
+            for d in range(2 * K):
+                oslots_ref[d] = zf
         ocnt_ref[:] = jnp.zeros((TY, TX), jnp.int32)
         odrop_ref[:] = jnp.zeros((TY, TX), jnp.int32)
         return 0
@@ -219,8 +250,8 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
             return out != 0
 
         def do_slot(k, carry_unused):
-            px = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
-            py = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
+            px = ssc[bslot * 2 * K + k, SB:SB + TH, SBL:SBL + TW]
+            py = ssc[bslot * 2 * K + K + k, SB:SB + TH, SBL:SBL + TW]
 
             bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
             by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
@@ -288,13 +319,15 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
 
             t = jnp.where(t_near < _FLT_MAX, dt_rem, t_prev)
             # march in place: re-binning reads the marched window below
-            ssc[bslot * 2 * K + k, 0:TH, 0:TW] = px + t * vx
-            ssc[bslot * 2 * K + K + k, 0:TH, 0:TW] = py + t * vy
+            ssc[bslot * 2 * K + k, SB:SB + TH, SBL:SBL + TW] = px + t * vx
+            ssc[bslot * 2 * K + K + k, SB:SB + TH, SBL:SBL + TW] = (
+                py + t * vy)
             return 0
 
         # validity is front-compacted, so slots >= max(count) are dead
         # everywhere in the window — only kmax slots march
-        kmax = jnp.max(csc[cslot, 0:TH, 0:TW]).astype(jnp.int32)
+        kmax = jnp.max(csc[cslot, SB:SB + TH, SBL:SBL + TW]).astype(
+            jnp.int32)
         jax.lax.fori_loop(0, kmax, do_slot, 0)
 
         # ---- re-binning (refresh_marker_counts_slots, tile interior) ----
@@ -305,7 +338,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
         hx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (col0 - 1)
         hy = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
               + (row0 - 1) + row_off)
-        hcnt = csc[cslot, 0:TH, 0:TW]
+        hcnt = csc[cslot, SB:SB + TH, SBL:SBL + TW]
 
         # Insertion is SELECTION, not accumulation: destination ranks are
         # consecutive (run increments once per candidate across the whole
@@ -329,8 +362,8 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
             # two compares + and per (view, slot)
             movc = []
             for k in range(KE):
-                mpx = ssc[bslot * 2 * K + k, 0:TH, 0:TW]
-                mpy = ssc[bslot * 2 * K + K + k, 0:TH, 0:TW]
+                mpx = ssc[bslot * 2 * K + k, SB:SB + TH, SBL:SBL + TW]
+                mpy = ssc[bslot * 2 * K + K + k, SB:SB + TH, SBL:SBL + TW]
                 mx = jnp.floor(mpx * inv_h).astype(jnp.int32) - hx
                 my = jnp.floor(mpy * inv_h).astype(jnp.int32) - hy
                 # dead slots get code -1 (matches no view)
@@ -347,11 +380,12 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
             # when NO live marker in the tile leaves its cell, slot k
             # maps to slot k exactly (front-compaction makes the rank
             # prefix the identity) ----
-            scnt0 = csc[cslot, 1 : 1 + TY, 1 : 1 + TX]
-            spx0 = [ssc[bslot * 2 * K + k, 1 : 1 + TY, 1 : 1 + TX]
-                    for k in range(KE)]
-            spy0 = [ssc[bslot * 2 * K + K + k, 1 : 1 + TY, 1 : 1 + TX]
-                    for k in range(KE)]
+            scnt0 = csc[cslot, SB + 1 : SB + 1 + TY,
+                        SBL + 1 : SBL + 1 + TX]
+            spx0 = [ssc[bslot * 2 * K + k, SB + 1 : SB + 1 + TY,
+                        SBL + 1 : SBL + 1 + TX] for k in range(KE)]
+            spy0 = [ssc[bslot * 2 * K + K + k, SB + 1 : SB + 1 + TY,
+                        SBL + 1 : SBL + 1 + TX] for k in range(KE)]
             stays = []
             any_leaver = None
             for k in range(KE):
@@ -401,7 +435,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
                     # ONE compare per (view, slot): liveness and
                     # direction are both folded into the movement code
                     sels = [movc[k][ys : ys + TY, xs : xs + TX] == vc
-                            for k in range(KE)]
+                            for k in range(KE)]  # movc is halo-tile-local
                     any_sel = sels[0]
                     for s in sels[1:]:
                         any_sel = any_sel | s
@@ -411,9 +445,11 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
                         nd = ~dead
                         for k in range(KE):
                             spx = ssc[bslot * 2 * K + k,
-                                      _ys : _ys + TY, _xs : _xs + TX]
+                                      SB + _ys : SB + _ys + TY,
+                                      SBL + _xs : SBL + _xs + TX]
                             spy = ssc[bslot * 2 * K + K + k,
-                                      _ys : _ys + TY, _xs : _xs + TX]
+                                      SB + _ys : SB + _ys + TY,
+                                      SBL + _xs : SBL + _xs + TX]
                             snd = _sels[k] & nd
                             for d in range(K):
                                 m = snd & (run == d)
@@ -442,11 +478,26 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
             count = jnp.where(dead, 0, accepted)
             drop = jnp.where(dead, 0, run - accepted)
 
-            for d in range(K):
-                oslots_ref[d] = acc_px[d]
-                oslots_ref[K + d] = acc_py[d]
+            if padded_out:
+                for d in range(K):
+                    osl[n % 2, d] = acc_px[d]
+                    osl[n % 2, K + d] = acc_py[d]
+            else:
+                for d in range(K):
+                    oslots_ref[d] = acc_px[d]
+                    oslots_ref[K + d] = acc_py[d]
             ocnt_ref[:] = count
             odrop_ref[:] = drop
+
+        if padded_out:
+            # the osl buffer this tile fills may still be draining tile
+            # n-2's write DMA — wait it (reconstructed by the recorded
+            # tile index; sizes are uniform, offsets differ)
+            prev = olast[n % 2]
+
+            @pl.when(prev >= 0)
+            def _drain():
+                out_dma(prev).wait()
 
         if cfg.marker_kmax_specialize and K >= 2:
             small = kmax <= K // 2
@@ -460,9 +511,31 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, nj, nt, clamp_ny,
                 rebin(K)
         else:
             rebin(K)
+
+        if padded_out:
+            out_dma(n).start()
+            olast[n % 2] = n
         return 0
 
+    def _maybe_epilogue():
+        if not padded_out:
+            return
+
+        @pl.when(n == nt - 1)
+        def _epilogue():
+            l0 = olast[0]
+            l1 = olast[1]
+
+            @pl.when(l0 >= 0)
+            def _():
+                out_dma(l0).wait()
+
+            @pl.when(l1 >= 0)
+            def _():
+                out_dma(l1).wait()
+
     jax.lax.cond(live(n), work_tile, skip_tile, 0)
+    _maybe_epilogue()
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8),
@@ -583,8 +656,8 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
     # VMEM, where DMA window slices must be (8, 128)-aligned.
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
 
-    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW, nj, nt,
-                               clamp_ny)
+    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW,
+                               RW, LW, 0, 0, False, nj, nt, clamp_ny)
     oslots, ocnt, odrop = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -615,3 +688,109 @@ def _march_rebin_single(cfg: SimConfig, u, v, fluid, solid, slots, dt,
         interpret=interpret,
     )(dt_arr, dead, cnt_pad, grid_pad, slots_pad)
     return oslots, ocnt, odrop
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("interpret",))
+def march_rebin_padded(cfg: SimConfig, u, v, fluid, solid, slots_padded,
+                       dt, count, *, dead, interpret: bool = False):
+    """Fused marker pass over a PERSISTENT padded slot store.
+
+    slots_padded: [2K, Y+16, X+256] with the interior at (8, 128) — the
+    (8, 128)-aligned offset lets every tile's output land by manual
+    write DMA, so the store round-trips substeps WITHOUT the per-substep
+    jnp.pad copy of the slot planes (~1.4 ms/frame at 1024², PERF.md
+    "pads").  Pad cells may hold garbage: their counts are zero (the
+    count plane is zero-padded here, cheap — one [Y, X] i32), so their
+    slots are never read.  Output slot pads are likewise unwritten
+    garbage, dead for the same reason.  count: [Y, X] UNPADDED (all
+    non-marker consumers stay padding-agnostic).  Returns
+    (slots_padded', count', dropped) with count'/dropped unpadded.
+
+    Single-device only (the sharded path keeps the per-substep-padded
+    kernel); no vmap rule — the batch harness round-robins."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    f = slots_padded.dtype
+    ty0, tx0 = cfg.marker_tile
+    TX = next((c for c in (tx0, 512, 256, 128) if c <= X and X % c == 0), X)
+    TY = next((c for c in (ty0, 32, 16, 8) if c <= Y and Y % c == 0), Y)
+    nj = X // TX
+    nt = (Y // TY) * nj
+    # grid windows: per-substep padded geometry (interior at (2, 2))
+    RW = -(-(TY + 4) // 8) * 8
+    LW = -(-(TX + 4) // 128) * 128
+    # slot/count windows: persistent geometry (interior at (8, 128));
+    # window (r0, c0) covers halo rows 8+r0-1 .. and the output offset
+    # (8 + r0, 128 + c0) stays (8, 128)-aligned
+    RWS = TY + 16
+    LWS = TX + 256
+    Yp, Xp = Y + 16, X + 256
+    assert slots_padded.shape == (2 * K, Yp, Xp), slots_padded.shape
+
+    grid_pad = jnp.pad(
+        jnp.stack([
+            u, v,
+            u_property(fluid).astype(f),
+            v_property(fluid).astype(f),
+            solid.astype(f),
+        ]),
+        ((0, 0), (2, RW - TY - 2), (2, LW - TX - 2)),
+    )
+    cnt_pad = jnp.pad(count, ((8, 8), (128, 128)))
+    dead_arr = dead
+
+    dt_arr = jnp.full((1, 128), dt, f)
+
+    tile_spec = pl.BlockSpec((TY, TX), lambda n: (n // nj, n % nj),
+                             memory_space=pltpu.VMEM)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+
+    kernel = functools.partial(_fused_kernel, cfg, TY, TX, RW, LW,
+                               RWS, LWS, 7, 127, True, nj, nt, Y)
+    oslots, ocnt, odrop = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * K, Yp, Xp), f),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
+            jax.ShapeDtypeStruct((Y, X), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,   # dead
+            hbm_spec,    # counts (persistent-geometry padded)
+            hbm_spec,    # grid planes (per-substep padded)
+            hbm_spec,    # slot planes (persistent padded store)
+        ],
+        out_specs=[hbm_spec, tile_spec, tile_spec],
+        scratch_shapes=[
+            pltpu.VMEM((3, RWS, LWS), jnp.int32),
+            pltpu.VMEM((2 * 5, RW, LW), f),
+            pltpu.VMEM((2 * 2 * K, RWS, LWS), f),
+            pltpu.SemaphoreType.DMA((7,)),
+            pltpu.VMEM((2, 2 * K, TY, TX), f),   # out slot buffers
+            pltpu.SemaphoreType.DMA((2,)),       # out-DMA sems
+            pltpu.SMEM((2,), jnp.int32),         # olast
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(dt_arr, dead_arr, cnt_pad, grid_pad, slots_padded)
+    return oslots, ocnt, odrop
+
+
+def pad_slot_store(cfg: SimConfig, markers):
+    """[2, M]/[2, K, Y, X] marker store -> persistent padded
+    [2K, Y+16, X+256] planes (interior at (8, 128))."""
+    Y, X, K = cfg.ny, cfg.nx, cfg.slots_per_cell
+    slots = markers.reshape(2 * K, Y, X)
+    return jnp.pad(slots, ((0, 0), (8, 8), (128, 128)))
+
+
+def unpad_slot_store(cfg: SimConfig, padded, like):
+    """Inverse of pad_slot_store, reshaped to `like`'s layout."""
+    Y, X = cfg.ny, cfg.nx
+    return padded[:, 8:8 + Y, 128:128 + X].reshape(like.shape)

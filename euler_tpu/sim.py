@@ -273,12 +273,39 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState,
         frame_time = jnp.where(active, frame_time - dt, frame_time)
         return (state, frame_time, msq), active
 
+    # Persistent padded slot store: pad the slot planes ONCE per frame
+    # to [2K, Y+16, X+256] (interior at (8, 128)) so the fused marker
+    # kernel round-trips them through the scan without the per-substep
+    # jnp.pad copies (~1.4 ms/frame at 1024²).  Slot pads may go stale /
+    # garbage — pad-cell counts are zero, so they are never read.  The
+    # padded kernel has no sources/rainbow/sharding support, hence the
+    # gates (flagship bench path only).
+    padded_store = (
+        cfg.marker_padded_store
+        and defer_alive
+        and marker_pass is None
+        and not cfg.rainbow
+        and scn.num_sources == 0
+        and state.markers.ndim != 3
+    )
+    orig_markers = state.markers
+    if padded_store:
+        from euler_tpu.ops.pallas.marker_fused_kernel import pad_slot_store
+
+        state = state.replace(markers=pad_slot_store(cfg, state.markers))
+
     frame_time0 = jnp.asarray(cfg.frame_time, f)
     msq0 = max_speed_sq(cfg, state.u, state.v)
     (state, _, _), actives = jax.lax.scan(
         body, (state, frame_time0, msq0), None, length=cfg.max_substeps
     )
     n_active = jnp.sum(actives.astype(jnp.int32))
+    if padded_store:
+        from euler_tpu.ops.pallas.marker_fused_kernel import unpad_slot_store
+
+        state = state.replace(
+            markers=unpad_slot_store(cfg, state.markers, orig_markers)
+        )
     if defer_alive:
         # re-derive the alive plane once per frame (stale through the
         # scan; slots are front-compacted so alive == k < count)

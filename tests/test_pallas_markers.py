@@ -263,3 +263,38 @@ def test_fused_marker_pass_kmax_branches():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(opy)[m], np.asarray(rpy)[m],
                                atol=1e-4)
+
+
+def test_padded_store_matches_per_substep_pad():
+    """The persistent padded slot store (marker_padded_store) must be
+    bitwise-identical to the per-substep-padded kernel over full frames:
+    same counts, same live slot positions, same velocities."""
+    import dataclasses
+
+    from euler_tpu.sim import step_frame
+
+    base = SimConfig(
+        nx=64, ny=64, marker_layout="slots",
+        use_pallas_markers=True, pallas_interpret=True,
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    cfg_p = dataclasses.replace(base, marker_padded_store=True)
+
+    scn, st_a = dam_break(base)
+    _, st_b = dam_break(cfg_p)
+    for _ in range(3):
+        st_a = step_frame(base, scn, st_a)
+        st_b = step_frame(cfg_p, scn, st_b)
+
+    np.testing.assert_array_equal(np.asarray(st_a.marker_count),
+                                  np.asarray(st_b.marker_count))
+    np.testing.assert_array_equal(np.asarray(st_a.u), np.asarray(st_b.u))
+    np.testing.assert_array_equal(np.asarray(st_a.v), np.asarray(st_b.v))
+    K = base.slots_per_cell
+    pa = np.asarray(st_a.markers).reshape(2 * K, 64, 64)
+    pb = np.asarray(st_b.markers).reshape(2 * K, 64, 64)
+    live = (np.arange(K)[:, None, None]
+            < np.asarray(st_a.marker_count)[None])
+    live2 = np.concatenate([live, live], axis=0)
+    np.testing.assert_array_equal(pa[live2], pb[live2])
+    assert int(st_a.dropped_markers) == int(st_b.dropped_markers)
