@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas marker kernels")
+    ap.add_argument("--padded-store", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="persistent padded slot store (once-per-frame "
+                         "pad instead of per-substep; A/B flag)")
     # Default is the CONVERGED mode: in-kernel Galerkin MG-PCG to
     # tol_rel 1e-4 (div_inf ~0.02 at 1024²) — the headline number and
     # the solve-quality number are the same number.  --precon jacobi
@@ -142,6 +146,8 @@ def _measure(args, precon, tol_rel):
             marker_tile=tuple(int(v) for v in args.marker_tile.split("x")),
             rainbow=args.rainbow,
             use_pallas_markers=args.pallas and not args.cpu,
+            marker_padded_store=(args.padded_store and args.pallas
+                                 and not args.cpu and args.batch == 1),
             solver=SolverConfig(
                 max_iterations=args.pcg_iters,
                 tol=1e-6,
