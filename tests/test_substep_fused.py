@@ -188,3 +188,44 @@ def test_fused_substep_jacobi_matches_fused_projection():
                                atol=2e-3)
     assert abs(int(iters) - int(it_ref)) <= 1
     np.testing.assert_allclose(float(msq), float(msq_ref), rtol=1e-3)
+
+
+def test_fused_substep_frame_parity_interior_solids():
+    """Same as test_fused_substep_frame_parity but on a scenario with
+    INTERIOR solid obstacles (block.txt-style shelf), which exercises the
+    grid stage's solid-property masking and the marker march's collision
+    handling near non-boundary solids."""
+    import dataclasses
+
+    from euler_tpu.core.scenario import build_scenario
+
+    text = (
+        b"0000000000\n"
+        b"0000000000\n"
+        b"0000000000\n"
+        b"\n"
+        b"   XXXX\n"
+        b"\n"
+        b"XX      XX\n"
+    )
+    cfg_f = _cfg()
+    cfg_f = dataclasses.replace(
+        cfg_f, nx=32, ny=32,
+        solver=dataclasses.replace(cfg_f.solver, fuse_projection=True,
+                                   use_pallas=True, pallas_interpret=True))
+    cfg_r = dataclasses.replace(_cfg(), nx=32, ny=32)
+    scn, st_f = build_scenario(text, cfg_f)
+    _, st_r = build_scenario(text, cfg_r)
+
+    from euler_tpu.sim import step_frame
+
+    for _ in range(3):
+        st_f = step_frame(cfg_f, scn, st_f)
+        st_r = step_frame(cfg_r, scn, st_r)
+
+    np.testing.assert_array_equal(np.asarray(st_f.marker_count),
+                                  np.asarray(st_r.marker_count))
+    np.testing.assert_allclose(np.asarray(st_f.u), np.asarray(st_r.u),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v),
+                               atol=5e-3)
