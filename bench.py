@@ -103,31 +103,58 @@ def main():
         args.also_speed = (args.precon == "mg" and args.batch == 1
                            and not args.rainbow and not args.cpu)
 
-    value, residual, active_substeps, dropped, cfg, precon_used = _measure(
-        args, args.precon, args.tol_rel)
-    if precon_used != args.precon:
-        # mg's single-launch kernel only fits VMEM through ~1200²; the
+    # Fallback ladder: a fresh kernel's first real Mosaic compile can
+    # fail in ways interpret mode cannot catch; a crashed headline is
+    # worse than a slower one.  Each rung disables one unproven kernel
+    # family; the rung that succeeded is disclosed in the JSON.
+    import sys
+
+    rungs = [
+        ("as-configured", args.precon, args.tol_rel, {}),
+        ("no-fused-substep", args.precon, args.tol_rel,
+         dict(fuse_projection=False)),
+        ("no-kmax-specialisation", args.precon, args.tol_rel,
+         dict(fuse_projection=False, marker_kmax_specialize=False)),
+        ("jacobi-conservative", "jacobi", 1e-6,
+         dict(fuse_projection=False, marker_kmax_specialize=False)),
+    ]
+    last_err = None
+    for rung, precon_try, tol_try, overrides in rungs:
+        try:
+            (value, residual, active_substeps, dropped, cfg,
+             precon_used) = _measure(args, precon_try, tol_try,
+                                     overrides)
+            break
+        except Exception as e:  # noqa: BLE001 — disclose and degrade
+            last_err = e
+            print(f"bench rung '{rung}' failed: {e!r}", file=sys.stderr)
+    else:
+        raise last_err
+    if precon_used != precon_try:
+        # mg's single-launch kernels don't cover this geometry; the
         # measurement fell back to the jacobi speed kernel — disclose
-        args.precon = precon_used
         args.tol_rel = 1e-6
         args.also_speed = False
+    args.precon = precon_used
+    fallback = {} if rung == "as-configured" else {"fallback_rung": rung}
 
-    speed_fields = {}
+    speed_fields = dict(fallback)
     if args.also_speed:
-        s_value, s_residual, _, _, _, _ = _measure(args, "jacobi", 1e-6)
-        speed_fields = {
+        s_value, s_residual, _, _, _, _ = _measure(args, "jacobi", 1e-6,
+                                                   {})
+        speed_fields.update({
             # the round-1/2 headline config: reference iteration budget,
             # solve gives up at 100 iterations (main.c:735-767 semantics)
             "speed_mode_cell_steps_per_sec": s_value,
             "speed_mode_div_inf": s_residual,
             "speed_mode_precon": "jacobi",
-        }
+        })
 
     _emit(args, cfg, value, residual, active_substeps, dropped,
           speed_fields)
 
 
-def _measure(args, precon, tol_rel):
+def _measure(args, precon, tol_rel, overrides=None):
     import time
 
     import jax
@@ -137,6 +164,10 @@ def _measure(args, precon, tol_rel):
     from euler_tpu.sim import step_frame_jit
 
     frames, warmup_frames = args.frames, args.warmup_frames
+    ov = dict(overrides or {})
+    fuse_projection = ov.pop("fuse_projection", args.fuse_projection)
+    kmax_spec = ov.pop("marker_kmax_specialize", True)
+    assert not ov, ov
 
     def build_cfg(precon, tol_rel):
         return SimConfig(
@@ -148,6 +179,7 @@ def _measure(args, precon, tol_rel):
             use_pallas_markers=args.pallas and not args.cpu,
             marker_padded_store=(args.padded_store and args.pallas
                                  and not args.cpu and args.batch == 1),
+            marker_kmax_specialize=kmax_spec,
             solver=SolverConfig(
                 max_iterations=args.pcg_iters,
                 tol=1e-6,
@@ -155,7 +187,7 @@ def _measure(args, precon, tol_rel):
                 dtype="float32",
                 preconditioner=precon,
                 use_pallas=args.pallas and not args.cpu,
-                fuse_projection=args.fuse_projection,
+                fuse_projection=fuse_projection,
             ),
         )
 
