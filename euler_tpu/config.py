@@ -174,6 +174,15 @@ class SimConfig:
     # (8, 128)-aligned write DMA.  Flagship single-device path only
     # (no sources/rainbow/sharding).  Default off until measured.
     marker_padded_store: bool = False
+    # Fused marker kernel: fully-submerged tiles (every u/v property set,
+    # no solid in the window) skip the interpolation's validity
+    # machinery AND the whole DDA march — without solids the marcher
+    # cannot hit, so the final position is exactly px + dt*v.  Bitwise
+    # under the condition (tested); the flag exists for hardware A/B.
+    # Coverage caveat: a tile qualifies only if its window avoids the
+    # grid border, so it needs >= 3 column tiles — at 1024² that means
+    # marker_tile narrower than the (128, 512) default, e.g. (128, 256).
+    marker_interior_fast: bool = True
     # Fused marker kernel: when a tile's live-slot bound kmax is
     # <= slots_per_cell // 2, run a half-depth re-binning specialisation
     # (exact — slots beyond kmax are dead everywhere in the window).

@@ -72,6 +72,30 @@ def _interp_tile(q9, p9, at_bx, at_by, frac_x, frac_y):
     return bilinear(q00, q01, q10, q11, frac_x, frac_y, v00, v01, v10, v11)
 
 
+def _interp_plain(q9, at_bx, at_by, frac_x, frac_y):
+    """Bilinear WITHOUT validity machinery — bitwise-equal to
+    _interp_tile when every corner's property is set (fraction snapping
+    degenerates to the identity and the zero-masking to a no-op), which
+    the interior-tile condition guarantees."""
+
+    def corner(cy, cx):
+        def pick(S):
+            lo = jnp.where(at_bx, S[cy][cx + 1], S[cy][cx])
+            hi = jnp.where(at_bx, S[cy + 1][cx + 1], S[cy + 1][cx])
+            return jnp.where(at_by, hi, lo)
+
+        return pick(q9)
+
+    q00 = corner(0, 0)
+    q01 = corner(0, 1)
+    q10 = corner(1, 0)
+    q11 = corner(1, 1)
+    # identical expression shape to interp.bilinear's _linear chain
+    left_value = (1.0 - frac_y) * q00 + frac_y * q10
+    right_value = (1.0 - frac_y) * q01 + frac_y * q11
+    return (1.0 - frac_x) * left_value + frac_x * right_value
+
+
 def _clamped_base(idx, site, size, f):
     """clamp + modf of interpolate (main.c:337-346) relative to the site."""
     hi = np.nextafter(np.array(size - 1, f), np.array(0.0, f))
@@ -324,11 +348,52 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                 py + t * vy)
             return 0
 
+        def do_slot_fast(k, carry_unused):
+            """Interior-tile march: with every property in the window set
+            and no solid anywhere, the DDA march cannot hit (final
+            position is EXACTLY px + dt*v — the cell-crossing loop only
+            does bookkeeping) and the interpolation's validity machinery
+            is the identity.  Bitwise-equal to do_slot under the
+            `interior` condition (test_pallas_markers)."""
+            px = ssc[bslot * 2 * K + k, SB:SB + TH, SBL:SBL + TW]
+            py = ssc[bslot * 2 * K + K + k, SB:SB + TH, SBL:SBL + TW]
+
+            bx_u, fx_u = _clamped_base(px * inv_h - 1.0, site_x, X - 1, f)
+            by_u, fy_u = _clamped_base(py * inv_h - 0.5, site_y, Y, f)
+            vx = _interp_plain(u9, bx_u, by_u, fx_u, fy_u)
+            bx_v, fx_v = _clamped_base(px * inv_h - 0.5, site_x, X, f)
+            by_v, fy_v = _clamped_base(py * inv_h - 1.0, site_y, Y - 1, f)
+            vy = _interp_plain(v9, bx_v, by_v, fx_v, fy_v)
+
+            ssc[bslot * 2 * K + k, SB:SB + TH, SBL:SBL + TW] = px + dt * vx
+            ssc[bslot * 2 * K + K + k, SB:SB + TH, SBL:SBL + TW] = (
+                py + dt * vy)
+            return 0
+
         # validity is front-compacted, so slots >= max(count) are dead
         # everywhere in the window — only kmax slots march
         kmax = jnp.max(csc[cslot, SB:SB + TH, SBL:SBL + TW]).astype(
             jnp.int32)
-        jax.lax.fori_loop(0, kmax, do_slot, 0)
+        if cfg.marker_interior_fast:
+            # interior condition: every u/v property set and no solid
+            # over everything the interp/march can touch ([TH+2, TW+2]
+            # window region; pads beyond the grid are zero, so edge
+            # tiles are conservatively excluded)
+            interior = (
+                jnp.all(gsc[bslot * 5 + 2, 0:TH + 2, 0:TW + 2] != 0)
+                & jnp.all(gsc[bslot * 5 + 3, 0:TH + 2, 0:TW + 2] != 0)
+                & jnp.all(gsc[bslot * 5 + 4, 0:TH + 2, 0:TW + 2] == 0)
+            )
+
+            @pl.when(interior)
+            def _fast_march():
+                jax.lax.fori_loop(0, kmax, do_slot_fast, 0)
+
+            @pl.when(jnp.logical_not(interior))
+            def _full_march():
+                jax.lax.fori_loop(0, kmax, do_slot, 0)
+        else:
+            jax.lax.fori_loop(0, kmax, do_slot, 0)
 
         # ---- re-binning (refresh_marker_counts_slots, tile interior) ----
         dead = dead_ref[:] != 0

@@ -298,3 +298,69 @@ def test_padded_store_matches_per_substep_pad():
     live2 = np.concatenate([live, live], axis=0)
     np.testing.assert_array_equal(pa[live2], pb[live2])
     assert int(st_a.dropped_markers) == int(st_b.dropped_markers)
+
+
+def test_interior_fast_march_matches():
+    """The interior-tile fast march (marker_interior_fast: plain bilinear
+    + px + dt*v, no DDA) must be bitwise-identical to the full path.  A
+    full pool on a 96x384 grid with (32, 128) tiles makes the middle
+    tiles' windows all-fluid/no-solid, so the fast branch really runs
+    (asserted by replicating the kernel's interior condition)."""
+    import dataclasses
+
+    from euler_tpu.core.scenario import build_scenario
+    from euler_tpu.core.state import u_property, v_property
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+    from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
+
+    Y, X = 96, 384
+    cfg = SimConfig(
+        nx=X, ny=Y, marker_layout="slots", marker_tile=(32, 128),
+        solver=SolverConfig(max_iterations=20, dtype="float32"),
+    )
+    text = b"\n".join([b"0" * (X - 2)] * (Y - 2)) + b"\n"
+    scn, st = build_scenario(text, cfg)
+
+    # smooth non-trivial velocities, small enough to respect CFL
+    yy, xx = np.mgrid[0:Y, 0:X].astype(np.float32)
+    u = jnp.asarray(0.3 * np.sin(yy / 7.0) * np.cos(xx / 11.0))
+    v = jnp.asarray(0.3 * np.cos(yy / 5.0) * np.sin(xx / 13.0))
+    st = st.replace(u=u, v=v)
+    dt = jnp.float32(0.08)
+
+    # the middle tiles' windows must satisfy the kernel's condition
+    fl = np.asarray(st.fluid)
+    so = np.asarray(scn.solid)
+    up = np.asarray(u_property(st.fluid))
+    vp = np.asarray(v_property(st.fluid))
+    TY, TX_ = 32, 128
+    r0, c0 = TY, TX_   # tile (1, 1)
+    win = (slice(r0 - 2, r0 + TY + 2), slice(c0 - 2, c0 + TX_ + 2))
+    assert up[win].all() and vp[win].all() and not so[win].any()
+
+    ref = refresh_marker_counts_slots(
+        cfg, scn, advect_markers_slots(cfg, scn, st, dt)
+    )
+    K = cfg.slots_per_cell
+    slots = st.markers.reshape(2 * K, Y, X)
+    dead = (scn.sink | scn.solid).astype(slots.dtype)
+
+    def run(fast):
+        c = dataclasses.replace(cfg, marker_interior_fast=fast)
+        return march_rebin_pallas(
+            c, st.u, st.v, st.fluid, scn.solid, slots, dt,
+            st.marker_count, interpret=True, dead=dead,
+        )
+
+    o_fast, cnt_fast, drop_fast = run(True)
+    np.testing.assert_array_equal(np.asarray(cnt_fast),
+                                  np.asarray(ref.marker_count))
+    o_full, cnt_full, drop_full = run(False)
+    np.testing.assert_array_equal(np.asarray(cnt_fast),
+                                  np.asarray(cnt_full))
+    np.testing.assert_array_equal(np.asarray(drop_fast),
+                                  np.asarray(drop_full))
+    live = (np.arange(K)[:, None, None] < np.asarray(cnt_full)[None])
+    live2 = np.concatenate([live, live], axis=0)
+    np.testing.assert_array_equal(np.asarray(o_fast)[live2],
+                                  np.asarray(o_full)[live2])
