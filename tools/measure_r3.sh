@@ -27,6 +27,10 @@ run "2048-mg"                --frames 8 --size 2048 --no-also-speed
 run "2048-jacobi"            --frames 8 --size 2048 --precon jacobi
 run "4096-mg"                --frames 4 --size 4096 --no-also-speed --warmup-frames 2
 run "4096-jacobi"            --frames 4 --size 4096 --precon jacobi --warmup-frames 2
+# interior-fast march needs >= 3 column tiles (config.py caveat):
+# narrower tiles trade per-tile overhead for submerged-tile skips
+run "1024-mg-tile128x256"    --frames 20 --marker-tile 128x256 --no-also-speed
+run "1024-mg-tile64x256"     --frames 20 --marker-tile 64x256 --no-also-speed
 # batch + rainbow sanity
 run "1024-batch8"            --frames 8 --batch 8 --no-also-speed
 run "1024-rainbow"           --frames 20 --rainbow --no-also-speed
