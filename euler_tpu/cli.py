@@ -44,6 +44,16 @@ def parse_args(argv):
         "for TPU, off with --cpu)",
     )
     ap.add_argument(
+        "--converged",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="converged pressure solve (Galerkin MG-PCG, tol_rel 1e-4) "
+        "and the fused-substep fast path.  Default: on for grids >= "
+        "512² on the Pallas path — where the reference's fixed "
+        "100-iteration budget stops converging (PERF.md) — off "
+        "(exact reference solver semantics) otherwise",
+    )
+    ap.add_argument(
         "--sherlock",
         action="store_true",
         help="trap NaNs under jit (the reference's SHERLOCK FP-exception "
@@ -80,13 +90,22 @@ def _build(args):
     if args.size:
         ny, nx = (int(t) for t in args.size.lower().split("x"))
     use_pallas = (not args.cpu) if args.pallas is None else args.pallas
+    converged = args.converged
+    if converged is None:
+        converged = use_pallas and nx * ny >= 512 * 512
+    solver = (
+        SolverConfig(use_pallas=use_pallas, preconditioner="mg",
+                     tol_rel=1e-4, fuse_projection=True)
+        if converged
+        else SolverConfig(use_pallas=use_pallas)
+    )
     cfg = SimConfig(
         nx=nx,
         ny=ny,
         rainbow=args.rainbow,
         marker_layout="slots" if use_pallas else "global",
         use_pallas_markers=use_pallas,
-        solver=SolverConfig(use_pallas=use_pallas),
+        solver=solver,
     )
 
     if args.scenario.startswith("preset:"):
