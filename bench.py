@@ -140,15 +140,20 @@ def main():
 
     speed_fields = dict(fallback)
     if args.also_speed:
-        s_value, s_residual, _, _, _, _ = _measure(args, "jacobi", 1e-6,
-                                                   {})
-        speed_fields.update({
-            # the round-1/2 headline config: reference iteration budget,
-            # solve gives up at 100 iterations (main.c:735-767 semantics)
-            "speed_mode_cell_steps_per_sec": s_value,
-            "speed_mode_div_inf": s_residual,
-            "speed_mode_precon": "jacobi",
-        })
+        try:
+            s_value, s_residual, _, _, _, _ = _measure(
+                args, "jacobi", 1e-6, {})
+            speed_fields.update({
+                # the round-1/2 headline config: reference iteration
+                # budget, solve gives up at 100 iterations
+                # (main.c:735-767 semantics)
+                "speed_mode_cell_steps_per_sec": s_value,
+                "speed_mode_div_inf": s_residual,
+                "speed_mode_precon": "jacobi",
+            })
+        except Exception as e:  # noqa: BLE001 — secondary measurement
+            print(f"speed-mode measurement failed: {e!r}", file=sys.stderr)
+            speed_fields["speed_mode_error"] = repr(e)[:200]
 
     _emit(args, cfg, value, residual, active_substeps, dropped,
           speed_fields)
