@@ -95,3 +95,41 @@ def test_stream_mg_level_skip_f4(monkeypatch):
     assert 0 < int(iters) <= 50
     r_true = np.asarray(b - P.apply_a(a, fluid, p))
     assert np.abs(r_true).max() <= 4 * tol_eff
+
+
+def test_stream_mg_rectangular_and_speckled():
+    """Non-square grid + irregular free-surface geometry (random speckle
+    holes): exercises rectangular lane-transfer matrices and the
+    measured Gershgorin bounds (a static lmax estimate diverges on
+    speckled masks — ops/multigrid._edge_level)."""
+    rng = np.random.default_rng(7)
+    Y, X = 128, 256
+    cfg = SimConfig(
+        nx=X, ny=Y, marker_layout="slots",
+        solver=SolverConfig(max_iterations=100, tol=1e-6, tol_rel=1e-4,
+                            dtype="float32", preconditioner="mg"),
+    )
+    fluid = np.zeros((Y, X), bool)
+    fluid[1:-1, 1:-1] = True
+    # speckle: knock out ~20% random cells + a slab of air
+    fluid &= rng.random((Y, X)) > 0.2
+    fluid[Y // 2:, :] = False
+    solid = np.zeros((Y, X), bool)
+    solid[10:12, 5:-5] = True
+    fluid &= ~solid
+    b = (rng.standard_normal((Y, X)).astype(np.float32) * fluid)
+
+    fluid = jnp.asarray(fluid)
+    solid = jnp.asarray(solid)
+    b = jnp.asarray(b)
+    a = P.pressure_matrix_diag(cfg, solid, fluid)
+
+    assert stream_mg_fits(cfg)
+    p, iters, resid = solve_pressure_mg_stream(
+        cfg, b, a, fluid, solid, interpret=True
+    )
+    b_norm = float(jnp.max(jnp.abs(b)))
+    tol_eff = max(1e-6, 1e-4 * b_norm)
+    assert float(resid) <= tol_eff
+    r_true = np.asarray(b - P.apply_a(a, fluid, p))
+    assert np.abs(r_true).max() <= 4 * tol_eff
