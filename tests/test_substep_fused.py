@@ -229,3 +229,33 @@ def test_fused_substep_frame_parity_interior_solids():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v),
                                atol=5e-3)
+
+
+def test_fused_substep_with_padded_store():
+    """The bench's --padded-store configuration: persistent padded slot
+    store AND the fused substep together must match the op-by-op path on
+    counts exactly (velocities to FMA slack)."""
+    import dataclasses
+
+    cfg_f = _cfg()
+    cfg_f = dataclasses.replace(
+        cfg_f, use_pallas_markers=True, pallas_interpret=True,
+        marker_padded_store=True,
+        solver=dataclasses.replace(cfg_f.solver, fuse_projection=True,
+                                   use_pallas=True,
+                                   pallas_interpret=True))
+    cfg_r = _cfg()
+    scn, st_f = dam_break(cfg_f)
+    _, st_r = dam_break(cfg_r)
+
+    from euler_tpu.sim import step_frame
+
+    for _ in range(2):
+        st_f = step_frame(cfg_f, scn, st_f)
+        st_r = step_frame(cfg_r, scn, st_r)
+
+    np.testing.assert_array_equal(np.asarray(st_f.marker_count),
+                                  np.asarray(st_r.marker_count))
+    np.testing.assert_allclose(np.asarray(st_f.u), np.asarray(st_r.u),
+                               atol=5e-3)
+    assert st_f.markers.shape == st_r.markers.shape  # unpadded outside
