@@ -100,8 +100,12 @@ def main():
     if args.tol_rel is None:
         args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
     if args.also_speed is None:
-        args.also_speed = (args.precon == "mg" and args.batch == 1
-                           and not args.rainbow and not args.cpu)
+        # default OFF: the jacobi speed path is a separate ~10-25 min
+        # cold Mosaic compile on top of the headline's (the mg kernel
+        # alone is ~25 min at 1024², amortised only by the persistent
+        # cache) — measure it explicitly via --also-speed or
+        # --precon jacobi instead of risking the driver's budget
+        args.also_speed = False
 
     # Fallback ladder: a fresh kernel's first real Mosaic compile can
     # fail in ways interpret mode cannot catch; a crashed headline is
