@@ -14,7 +14,7 @@ run() {
 }
 
 # headline: mg converged + speed-mode disclosure (fused substep on)
-run "1024-mg-fused"          --frames 20
+run "1024-mg-fused"          --frames 20 --also-speed
 # A/B: substep fusion off (kernel-per-stage path)
 run "1024-mg-nofuse"         --frames 20 --no-fuse-projection --no-also-speed
 # A/B: padded slot store
