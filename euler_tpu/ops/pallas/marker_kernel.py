@@ -49,6 +49,27 @@ def _shift_x(a, dx: int):
     return jnp.concatenate([z, a[:, :dx]], axis=1)
 
 
+def _shift_x_any(a, dx: int):
+    """a[:, x + dx] with zero fill — layout-insensitive form.
+
+    The concatenate form above is cheapest but Mosaic refuses it when
+    the operand is a row-offset ref slice (sublane offset != 0):
+    "result/input offset mismatch on non-concat dimension".  tpu.rotate
+    assigns its operand a canonical layout (forcing a supported
+    relayout), so this form is safe on slices like ref[r0+1:r1+1] that
+    the fused substep / MG kernels shift; use it wherever the operand
+    is not a freshly loaded whole plane."""
+    if dx == 0:
+        return a
+    X = a.shape[-1]
+    r = pltpu.roll(a, (-dx) % X, len(a.shape) - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, len(a.shape) - 1)
+    zero = jnp.zeros_like(a)
+    if dx > 0:
+        return jnp.where(col >= X - dx, zero, r)
+    return jnp.where(col < -dx, zero, r)
+
+
 def _interp_tile(q9, p9, at_bx, at_by, frac_x, frac_y):
     """Fraction-snapped bilinear (main.c:301-364) on a row tile.
 

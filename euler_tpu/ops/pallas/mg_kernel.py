@@ -163,13 +163,13 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
             parts.append(jnp.zeros((r1 - Yl, Xl), f32))
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
+    from euler_tpu.ops.pallas.marker_kernel import _shift_x_any
+
     def shl(a):
-        return jnp.concatenate(
-            [jnp.zeros((a.shape[0], 1), f32), a[:, :-1]], axis=1)
+        return _shift_x_any(a, -1)
 
     def shr(a):
-        return jnp.concatenate(
-            [a[:, 1:], jnp.zeros((a.shape[0], 1), f32)], axis=1)
+        return _shift_x_any(a, 1)
 
     def apply_rows(l, x_ref_l, r0, r1):
         """A x on rows [r0, r1), MASKED (zero at inactive/non-fluid

@@ -175,13 +175,13 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
         a = pk - 8.0 * fl
         return fl, a
 
+    from euler_tpu.ops.pallas.marker_kernel import _shift_x_any
+
     def shl(v):
-        return jnp.concatenate(
-            [jnp.zeros((v.shape[0], 1), f32), v[:, :-1]], axis=1)
+        return _shift_x_any(v, -1)
 
     def shr(v):
-        return jnp.concatenate(
-            [v[:, 1:], jnp.zeros((v.shape[0], 1), f32)], axis=1)
+        return _shift_x_any(v, 1)
 
     def zero_edge(v, m, off):
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)

@@ -42,7 +42,7 @@ from euler_tpu.config import SimConfig
 from euler_tpu.ops.pallas.marker_kernel import (
     _clamped_base,
     _interp_tile,
-    _shift_x,
+    _shift_x_any as _shift_x,  # row-offset slice operands: see marker_kernel
 )
 from euler_tpu.ops.pallas.mg_kernel import (
     _mg_pcg_solve,
