@@ -54,6 +54,21 @@ from euler_tpu.ops.pallas.mg_kernel import (
 from euler_tpu.ops.pallas.pcg_kernel import _VMEM_BUDGET
 
 
+def _grid_chunk_rows(Y: int) -> int:
+    """Grid-stage (sweep-B) chunk height: 64 rows, dividing Y.
+
+    Sweep B keeps ~36 [C, X] planes live at once (u9/v9/up9/vp9 plus
+    the interp temps); at the solver's C=256 chunk that is ~36+ MB of
+    live vectors, which the first hardware compile spilled as 70 MB of
+    register-allocator slots and OOM'd the 128 MB VMEM space.  64 rows
+    puts the live set at the fused marker kernel's proven scale
+    (~9 MB at X=1024)."""
+    c = min(Y, 64)
+    while c > 8 and Y % c:
+        c -= 8
+    return c if c > 0 and Y % c == 0 else min(Y, 8)
+
+
 def _grid_stage_sweeps(cfg: SimConfig, Y, X, C, dt,
                        fl_ref, so_ref, pfl_ref, u_ref, v_ref,
                        zu_ref, zv_ref, u2_ref, v2_ref):
@@ -221,7 +236,8 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         head + [p_ref, iters_ref, resid_ref, r_ref] + mg_scratch,
     )
 
-    _grid_stage_sweeps(cfg, Y, X, C, dt, fl_ref, so_ref, pfl_ref,
+    _grid_stage_sweeps(cfg, Y, X, _grid_chunk_rows(Y), dt,
+                       fl_ref, so_ref, pfl_ref,
                        u_ref, v_ref, zu_ref, zv_ref, u2_ref, v2_ref)
 
     def rows(ref, r0, r1):
@@ -376,7 +392,8 @@ def _substep_jacobi_kernel(cfg: SimConfig, C,
     from euler_tpu.ops.pallas.pcg_kernel import _project_kernel
 
     Y, X = fl_ref.shape
-    _grid_stage_sweeps(cfg, Y, X, C, dt_ref[0, 0], fl_ref, so_ref,
+    _grid_stage_sweeps(cfg, Y, X, _grid_chunk_rows(Y), dt_ref[0, 0],
+                       fl_ref, so_ref,
                        pfl_ref, u_ref, v_ref, zu_ref, zv_ref,
                        u2_ref, v2_ref)
     # ut/vt live in u2/v2; _project_kernel updates them in place (its
