@@ -86,49 +86,93 @@ def _apply_a_local(a_diag, fluid, s, axis_names):
 
 
 def _pcg_sharded(cfg: SimConfig, axis_names, b, a_diag, fluid):
-    """Jacobi-PCG, one shard per device: ops/project.pcg_loop (the ONE
-    PCG body — break placement, all_zero early-out, tol_rel stopping)
-    with psum/pmax reductions and the halo-exchanging local apply
-    plugged in.  The jacobi preconditioner is communication-free
-    (diagonal); the mg preconditioner is served by the GSPMD spatial
-    path (parallel/spatial.py), where XLA partitions the multigrid's
-    shifts/reductions automatically."""
+    """PCG, one shard per device: ops/project.pcg_loop (the ONE PCG
+    body — break placement, all_zero early-out, tol_rel stopping) with
+    psum/pmax reductions and the halo-exchanging local apply plugged in.
+
+    Preconditioners (both communication-free per CG iteration):
+      * "jacobi" — the diagonal, trivially block-local.
+      * "mg" — block-Jacobi additive Schwarz: each shard runs one
+        Galerkin multigrid cycle (ops/multigrid.cycle_galerkin) on its
+        OWN principal submatrix A_ii.  Building the fine edge level from
+        the local fluid block drops exactly the couplings that cross the
+        shard boundary (shift_* pull zeros there), so the local operator
+        IS A_ii — symmetric positive definite — and the induced
+        M = diag(MG(A_11), ..., MG(A_nn)) is a valid SPD PCG
+        preconditioner.  Outer iterations grow mildly with the shard
+        count (boundary error is re-propagated by CG, the classic
+        one-level-Schwarz trade), but each costs only a local V/W-cycle
+        plus the two psum dots — no extra ICI traffic vs jacobi.
+    """
     from euler_tpu.ops.project import pcg_loop
 
     sdt = b.dtype
     psum = partial(jax.lax.psum, axis_name=axis_names)
     pmax = partial(jax.lax.pmax, axis_name=axis_names)
 
-    def precon(r):
-        d = a_diag.astype(sdt)
-        z = r / jnp.where(d > 0, d, 1)
-        return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
+    if cfg.solver.preconditioner == "mg":
+        from euler_tpu.ops.multigrid import (
+            build_galerkin_hierarchy, cycle_galerkin,
+        )
 
-    p, _iters, _resid = pcg_loop(
+        levels = build_galerkin_hierarchy(
+            a_diag, fluid, sdt, min_size=cfg.solver.mg_min_size
+        )
+        mg_cycle = partial(
+            cycle_galerkin, levels,
+            pre=cfg.solver.mg_pre_smooth, post=cfg.solver.mg_post_smooth,
+            coarse_iters=cfg.solver.mg_coarse_iters,
+            w=2 if cfg.solver.mg_cycle == "w" else 1,
+            smoother=cfg.solver.mg_smoother,
+            cheby_degree=cfg.solver.mg_cheby_degree,
+            cheby_ratio=cfg.solver.mg_cheby_ratio,
+            coarse_ratio=cfg.solver.mg_coarse_ratio,
+            w_depth=cfg.solver.mg_w_depth,
+        )
+
+        def precon(r):
+            return jnp.where(fluid, mg_cycle(r), 0)
+    else:
+        def precon(r):
+            d = a_diag.astype(sdt)
+            z = r / jnp.where(d > 0, d, 1)
+            return jnp.where(fluid & (a_diag > 0), z, jnp.where(fluid, r, 0))
+
+    p, iters, resid = pcg_loop(
         cfg, b,
         lambda s: _apply_a_local(a_diag, fluid, s, axis_names),
         precon,
         dot=lambda x, y: psum(jnp.sum(x * y)),
         inf_norm=lambda r: pmax(jnp.max(jnp.abs(r))),
     )
-    return p
+    return p, iters, resid
 
 
 def make_sharded_pressure_solver(cfg: SimConfig, mesh: Mesh,
-                                 axes: tuple[str, ...] = ("y",)):
+                                 axes: tuple[str, ...] = ("y",),
+                                 stats: bool = False):
     """jit-compiled domain-decomposed pressure solver over `mesh[axes]`.
 
     axes = ("y",) row-shards the grid; axes = ("y", "x") block-shards it
     in 2D with column halo exchange as well.  Inputs/outputs are [Y, X]
     arrays sharded P(*axes); each grid dim must divide by its axis size.
+    stats=True additionally returns (iters, resid) — replicated scalars
+    (both derive from psum/pmax-reduced quantities, so every shard holds
+    the same value).
     """
     spec = P(axes[0], axes[1] if len(axes) > 1 else None)
 
+    def body(b, a_diag, fluid):
+        p, iters, resid = _pcg_sharded(cfg, axes, b, a_diag, fluid)
+        return (p, iters, resid) if stats else p
+
     fn = shard_map(
-        partial(_pcg_sharded, cfg, axes),
+        body,
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=spec,
+        out_specs=(spec, P(), P()) if stats else spec,
+        check_vma=False,
     )
     sharding = NamedSharding(mesh, spec)
-    return jax.jit(fn, in_shardings=(sharding,) * 3, out_shardings=sharding)
+    return jax.jit(fn, in_shardings=(sharding,) * 3,
+                   out_shardings=(sharding, None, None) if stats else sharding)

@@ -57,6 +57,20 @@ def test_sharded_pcg_2d_matches_single_device():
         np.asarray(p_sharded), np.asarray(p_ref), atol=1e-8
     )
 
+    # block-Jacobi MG precon on 2D blocks: same pressure, fewer iters
+    cfg_mg = SimConfig(
+        nx=N, ny=N,
+        solver=SolverConfig(
+            max_iterations=600, tol=1e-10, dtype="float64",
+            preconditioner="mg", mg_min_size=8,
+        ),
+    )
+    mg = make_sharded_pressure_solver(cfg_mg, mesh, axes=("y", "x"),
+                                      stats=True)
+    p_mg, iters_mg, resid_mg = mg(b_j, a, fluid_j)
+    assert float(resid_mg) <= cfg_mg.solver.tol
+    np.testing.assert_allclose(np.asarray(p_mg), np.asarray(p_ref), atol=1e-8)
+
 
 def test_full_step_2d_mesh_matches_unsharded():
     """One batched frame on a (data=2, y=2, x=2) mesh == unsharded."""
