@@ -100,12 +100,15 @@ def main():
     if args.tol_rel is None:
         args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
     if args.also_speed is None:
-        # default OFF: the jacobi speed path is a separate ~10-25 min
-        # cold Mosaic compile on top of the headline's (the mg kernel
-        # alone is ~25 min at 1024², amortised only by the persistent
-        # cache) — measure it explicitly via --also-speed or
-        # --precon jacobi instead of risking the driver's budget
-        args.also_speed = False
+        # default ON for the plain single-instance mg benchmark: the
+        # headline (converged) and the jacobi speed mode are both one
+        # warm-cache execution once tools/measure_r3.sh has run — the
+        # JSON then discloses the reference-budget throughput alongside
+        # the converged number.  (Keep OFF for batch/rainbow/size A/Bs:
+        # each is a fresh Mosaic compile.)
+        args.also_speed = (args.precon == "mg" and args.batch == 1
+                           and not args.rainbow and args.size == 1024
+                           and args.layout == "slots")
 
     # Fallback ladder: a fresh kernel's first real Mosaic compile can
     # fail in ways interpret mode cannot catch; a crashed headline is
