@@ -1,7 +1,27 @@
 """Headline benchmark: cell-steps/sec/chip at 1024² (BASELINE.md).
 
-Prints ONE JSON line:
+Prints the headline JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Emission contract (round 4, after BENCH_r03 timed out empty): the
+headline line is printed AS SOON as the headline measurement completes.
+If the jacobi speed mode also runs (--also-speed), a second JSON line
+follows that repeats the full headline record plus the speed_mode_*
+fields — so a first-line parser gets the headline and a tail -1 parser
+gets the headline value with the extra disclosure fields; both lines
+carry the same metric/value.
+
+Robustness under a driver timeout:
+  * EULER_BENCH_BUDGET_S (default 2400 s) is a soft wall-clock budget.
+    A watchdog thread emits the best measurement available and exits 0
+    shortly before it expires, so a compile overrun in a SECONDARY
+    measurement can never eat the headline.
+  * the headline itself is measured twice: a 4-frame provisional pass
+    right after warm-up (the compiled program is identical, so this
+    costs ~1 s) whose result the watchdog can emit if the full pass is
+    still running at the budget, then the full --frames pass.
+  * stderr logs the persistent-cache dir and the first-dispatch wall
+    time, so a cold-cache run is diagnosable from the .err file.
 
 vs_baseline measures against the reference's derived throughput ceiling
 of ~3.2e5 cell-steps/sec (BASELINE.md: 4,000 cells x 8 substeps x 10 FPS,
@@ -17,9 +37,50 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 
 REFERENCE_CELL_STEPS_PER_SEC = 3.2e5  # BASELINE.md derived ceiling
+
+_t0 = time.time()
+_emit_lock = threading.Lock()
+_provisional = None   # headline JSON dict from the 4-frame pass
+_headline_out = False  # the real headline line has been printed
+
+
+def _elapsed():
+    return time.time() - _t0
+
+
+def _budget():
+    return float(os.environ.get("EULER_BENCH_BUDGET_S", "2400"))
+
+
+def _watchdog():
+    """Emit the best available result and exit 0 just before the budget
+    expires.  Never lets a secondary measurement starve the headline.
+    If nothing has been measured when the budget expires (cold compile
+    still running), keep polling and emit/exit the moment a result
+    exists — the driver's own timeout governs the truly-stuck case."""
+    while True:
+        remaining = _budget() - _elapsed()
+        if remaining > 20:
+            time.sleep(min(remaining - 20, 10))
+            continue
+        with _emit_lock:
+            if _headline_out:
+                print("bench watchdog: budget expired after headline; "
+                      "skipping remaining measurements", file=sys.stderr)
+                sys.stdout.flush()
+                os._exit(0)
+            if _provisional is not None:
+                print(json.dumps(_provisional), flush=True)
+                print("bench watchdog: budget expired; emitted the "
+                      "4-frame provisional headline", file=sys.stderr)
+                os._exit(0)
+        time.sleep(5)
 
 
 def main():
@@ -57,10 +118,11 @@ def main():
                          "(converged mode), 1e-6 otherwise (f32 floor)")
     ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
                     default=None,
-                    help="after the headline (mg) measurement, also run "
-                         "the jacobi speed mode and report it as "
-                         "speed_mode_* fields (default: on for the plain "
-                         "single-instance mg benchmark)")
+                    help="after the headline (mg) line is printed, also "
+                         "run the jacobi speed mode and print a second "
+                         "line with speed_mode_* fields added (default: "
+                         "on only for the all-defaults benchmark run — "
+                         "any A/B flag would make it a fresh compile)")
     ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="one-launch fused projection kernel (when it fits)")
@@ -85,37 +147,42 @@ def main():
     # Persistent XLA/Mosaic compilation cache: the one-launch solver
     # kernels take minutes of compile at 1024²+ (the in-kernel MG ~2 min)
     # — pay it once per config, not per process.
-    import os as _os
-
-    _cache = _os.environ.get(
+    _cache = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/euler_tpu_xla"),
+        os.path.expanduser("~/.cache/euler_tpu_xla"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # older jax without the knobs
+    print(f"bench: compile cache {_cache} "
+          f"({len(os.listdir(_cache)) if os.path.isdir(_cache) else 0} "
+          f"entries), budget {_budget():.0f}s", file=sys.stderr)
 
     if args.tol_rel is None:
         args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
+    # also_speed default: ON only when every kernel-affecting flag is at
+    # its default (the plain driver benchmark) — then both kernel
+    # families are warm-cache one-execution runs.  ANY A/B flag
+    # (--no-fuse-projection, --padded-store, --marker-tile, --cpu,
+    # --no-pallas, ...) would make the speed mode a fresh multi-minute
+    # Mosaic compile, contradicting the A/B's purpose (ADVICE r3).
     if args.also_speed is None:
-        # default ON for the plain single-instance mg benchmark: the
-        # headline (converged) and the jacobi speed mode are both one
-        # warm-cache execution once tools/measure_r3.sh has run — the
-        # JSON then discloses the reference-budget throughput alongside
-        # the converged number.  (Keep OFF for batch/rainbow/size A/Bs:
-        # each is a fresh Mosaic compile.)
-        args.also_speed = (args.precon == "mg" and args.batch == 1
-                           and not args.rainbow and args.size == 1024
-                           and args.layout == "slots")
+        args.also_speed = (
+            args.precon == "mg" and args.batch == 1 and not args.rainbow
+            and args.size == 1024 and args.layout == "slots"
+            and args.pallas and not args.cpu and args.fuse_projection
+            and not args.padded_store and args.marker_tile == "128x512"
+            and args.tol_rel == 1e-4 and args.pcg_iters == 100
+        )
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     # Fallback ladder: a fresh kernel's first real Mosaic compile can
     # fail in ways interpret mode cannot catch; a crashed headline is
     # worse than a slower one.  Each rung disables one unproven kernel
     # family; the rung that succeeded is disclosed in the JSON.
-    import sys
-
     rungs = [
         ("as-configured", args.precon, args.tol_rel, {}),
         ("no-fused-substep", args.precon, args.tol_rel,
@@ -145,11 +212,30 @@ def main():
     args.precon = precon_used
     fallback = {} if rung == "as-configured" else {"fallback_rung": rung}
 
-    speed_fields = dict(fallback)
-    if args.also_speed:
+    # ---- headline out, immediately ----
+    headline = _headline_record(args, cfg, value, residual,
+                                active_substeps, dropped, fallback)
+    global _headline_out
+    with _emit_lock:
+        print(json.dumps(headline), flush=True)
+        _headline_out = True
+
+    # ---- optional speed-mode follow-up (second, superset line) ----
+    # Budget gate: a warm speed-mode run is ~1-2 min; only attempt it
+    # while at least 40% of the budget remains.  The rung that measured
+    # the headline carries over — re-enabling a kernel family that just
+    # failed would waste the remaining budget on a doomed compile
+    # (ADVICE r3).
+    if args.also_speed and precon_used == "mg":
+        if _elapsed() > 0.6 * _budget():
+            print("bench: skipping speed mode "
+                  f"({_elapsed():.0f}s of {_budget():.0f}s used)",
+                  file=sys.stderr)
+            return
+        speed_fields = dict(fallback)
         try:
             s_value, s_residual, _, _, _, _ = _measure(
-                args, "jacobi", 1e-6, {})
+                args, "jacobi", 1e-6, overrides)
             speed_fields.update({
                 # the round-1/2 headline config: reference iteration
                 # budget, solve gives up at 100 iterations
@@ -161,14 +247,11 @@ def main():
         except Exception as e:  # noqa: BLE001 — secondary measurement
             print(f"speed-mode measurement failed: {e!r}", file=sys.stderr)
             speed_fields["speed_mode_error"] = repr(e)[:200]
-
-    _emit(args, cfg, value, residual, active_substeps, dropped,
-          speed_fields)
+        with _emit_lock:
+            print(json.dumps({**headline, **speed_fields}), flush=True)
 
 
 def _measure(args, precon, tol_rel, overrides=None):
-    import time
-
     import jax
 
     from euler_tpu.config import SimConfig, SolverConfig
@@ -270,30 +353,54 @@ def _measure(args, precon, tol_rel, overrides=None):
     # pipeline, with a single sync at the end.  (An outer lax.scan over
     # frames measures an order of magnitude slower on the tunneled
     # runtime than the identical per-frame program.)
-    if args.batch > 1:
-        for _ in range(max(warmup_frames, 1)):
-            states = [step_one(s_, st) for s_, st in zip(scns, states)]
-        for st in states:
-            sync(st)
-        t0 = time.perf_counter()
-        for _ in range(frames):
-            states = [step_one(s_, st) for s_, st in zip(scns, states)]
-        for st in states:
-            sync(st)
-        elapsed = time.perf_counter() - t0
-        state = states[0]
-    else:
-        for _ in range(max(warmup_frames, 1)):
-            state = step_fn(scn, state)
-        sync(state)
-
-        t0 = time.perf_counter()
-        for _ in range(frames):
-            state = step_fn(scn, state)
-        sync(state)
-        elapsed = time.perf_counter() - t0
-
     cells = cfg.nx * cfg.ny
+
+    def run(n_calls, states_or_state):
+        t0 = time.perf_counter()
+        if args.batch > 1:
+            states = states_or_state
+            for _ in range(n_calls):
+                states = [step_one(s_, st) for s_, st in zip(scns, states)]
+            for st in states:
+                sync(st)
+            return states, time.perf_counter() - t0
+        state = states_or_state
+        for _ in range(n_calls):
+            state = step_fn(scn, state)
+        sync(state)
+        return state, time.perf_counter() - t0
+
+    tw0 = time.perf_counter()
+    if args.batch > 1:
+        states, _ = run(max(warmup_frames, 1), states)
+        cur = states
+    else:
+        state, _ = run(max(warmup_frames, 1), state)
+        cur = state
+    print(f"bench: warmup (compile) took {time.perf_counter() - tw0:.1f}s",
+          file=sys.stderr)
+
+    # provisional short pass: same compiled program, ~1 s — gives the
+    # watchdog a real measured headline if the full pass overruns
+    per_call = max(frames_per_call, 1) * args.batch
+    prov_calls = max(1, 4 // per_call)
+    cur, prov_elapsed = run(prov_calls, cur)
+    prov_value = (cells * cfg.max_substeps * prov_calls * per_call
+                  / prov_elapsed)
+    global _provisional
+    _provisional = {
+        "metric": _metric_name(args),
+        "value": prov_value,
+        "unit": "cell-steps/s",
+        "vs_baseline": prov_value / REFERENCE_CELL_STEPS_PER_SEC,
+        "precon": precon,
+        "provisional_frames": prov_calls * per_call,
+        "note": "4-frame provisional emitted by the budget watchdog",
+    }
+
+    cur, elapsed = run(frames, cur)
+    state = cur[0] if args.batch > 1 else cur
+
     total_frames = frames * max(frames_per_call, 1)
     cell_steps = cells * cfg.max_substeps * total_frames * args.batch
     value = cell_steps / elapsed
@@ -313,8 +420,8 @@ def _measure(args, precon, tol_rel, overrides=None):
         return jnp.max(jnp.abs(b))
 
     if args.batch > 1:
-        residual = max(float(div_inf(st)) for st in states)
-        dropped = sum(int(st.dropped_markers) for st in states)
+        residual = max(float(div_inf(st)) for st in cur)
+        dropped = sum(int(st.dropped_markers) for st in cur)
         active_substeps = None
     else:
         dropped = int(state.dropped_markers)
@@ -332,39 +439,39 @@ def _measure(args, precon, tol_rel, overrides=None):
     return value, residual, active_substeps, dropped, cfg, precon
 
 
-def _emit(args, cfg, value, residual, active_substeps, dropped,
-          speed_fields):
+def _metric_name(args):
     suffix = f" x{args.batch}" if args.batch > 1 else ""
     if args.rainbow:
         suffix += " rainbow"
-    print(
-        json.dumps(
-            {
-                "metric": f"cell-steps/sec/chip at {args.size}^2{suffix}",
-                "value": value,
-                "unit": "cell-steps/s",
-                "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,
-                "precon": args.precon,
-                "pcg_iters_budget": args.pcg_iters,
-                "post_projection_div_inf": residual,
-                "active_substeps_per_frame": active_substeps,
-                # the headline metric counts the nominal substep budget
-                # (cells x max_substeps x frames); this folds in the real
-                # substep occupancy so the active-work rate is explicit
-                "active_cell_steps_per_sec": (
-                    value * active_substeps / cfg.max_substeps
-                    if active_substeps is not None else None
-                ),
-                "max_substeps": cfg.max_substeps,
-                # slot-capacity drops over the whole run (the slots
-                # layout's documented deviation from main.c:92-97) —
-                # continuously measured, not a one-off claim
-                "dropped_markers": dropped,
-                "tol_rel": args.tol_rel,
-                **speed_fields,
-            }
-        )
-    )
+    return f"cell-steps/sec/chip at {args.size}^2{suffix}"
+
+
+def _headline_record(args, cfg, value, residual, active_substeps, dropped,
+                     extra):
+    return {
+        "metric": _metric_name(args),
+        "value": value,
+        "unit": "cell-steps/s",
+        "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,
+        "precon": args.precon,
+        "pcg_iters_budget": args.pcg_iters,
+        "post_projection_div_inf": residual,
+        "active_substeps_per_frame": active_substeps,
+        # the headline metric counts the nominal substep budget
+        # (cells x max_substeps x frames); this folds in the real
+        # substep occupancy so the active-work rate is explicit
+        "active_cell_steps_per_sec": (
+            value * active_substeps / cfg.max_substeps
+            if active_substeps is not None else None
+        ),
+        "max_substeps": cfg.max_substeps,
+        # slot-capacity drops over the whole run (the slots
+        # layout's documented deviation from main.c:92-97) —
+        # continuously measured, not a one-off claim
+        "dropped_markers": dropped,
+        "tol_rel": args.tol_rel,
+        **extra,
+    }
 
 
 if __name__ == "__main__":
