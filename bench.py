@@ -116,6 +116,15 @@ def main():
                          "presumes f64 CG and is unreachable in f32 at "
                          "scale (0 restores it).  Default: 1e-4 for mg "
                          "(converged mode), 1e-6 otherwise (f32 floor)")
+    ap.add_argument("--warm-start", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="seed each substep's PCG from the previous "
+                         "substep's pressure (same stopping tolerance; "
+                         "default: on for mg — the converged production "
+                         "config; off otherwise)")
+    ap.add_argument("--slots-per-cell", type=int, default=None,
+                    help="slot-store depth K (default: config default, "
+                         "16 = lossless; 8 = round-3 store, A/B flag)")
     ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="after the headline (mg) line is printed, also "
@@ -162,6 +171,8 @@ def main():
 
     if args.tol_rel is None:
         args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
+    if args.warm_start is None:
+        args.warm_start = args.precon == "mg"
     # also_speed default: ON only when every kernel-affecting flag is at
     # its default (the plain driver benchmark) — then both kernel
     # families are warm-cache one-execution runs.  ANY A/B flag
@@ -175,6 +186,7 @@ def main():
             and args.pallas and not args.cpu and args.fuse_projection
             and not args.padded_store and args.marker_tile == "128x512"
             and args.tol_rel == 1e-4 and args.pcg_iters == 100
+            and args.warm_start and args.slots_per_cell is None
         )
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -265,10 +277,13 @@ def _measure(args, precon, tol_rel, overrides=None):
     assert not ov, ov
 
     def build_cfg(precon, tol_rel):
+        slots_kw = ({} if args.slots_per_cell is None
+                    else {"slots_per_cell": args.slots_per_cell})
         return SimConfig(
             nx=args.size,
             ny=args.size,
             marker_layout=args.layout,
+            **slots_kw,
             marker_tile=tuple(int(v) for v in args.marker_tile.split("x")),
             rainbow=args.rainbow,
             use_pallas_markers=args.pallas and not args.cpu,
@@ -283,6 +298,9 @@ def _measure(args, precon, tol_rel, overrides=None):
                 preconditioner=precon,
                 use_pallas=args.pallas and not args.cpu,
                 fuse_projection=fuse_projection,
+                # warm start only helps converged solves; the jacobi
+                # speed mode is iteration-budget-bound and ignores it
+                warm_start=args.warm_start and precon == "mg",
             ),
         )
 
@@ -470,6 +488,7 @@ def _headline_record(args, cfg, value, residual, active_substeps, dropped,
         # continuously measured, not a one-off claim
         "dropped_markers": dropped,
         "tol_rel": args.tol_rel,
+        "warm_start": bool(args.warm_start and args.precon == "mg"),
         **extra,
     }
 

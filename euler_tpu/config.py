@@ -39,6 +39,19 @@ class SolverConfig:
     # "converging".  0.0 keeps exact reference semantics (the parity
     # configs); the TPU benchmark sets 1e-6.
     tol_rel: float = 0.0
+    # Warm-start each substep's pressure solve from the previous
+    # substep's solution (zero at each frame's first substep).  The
+    # round-4 MG schedule lab (MG_LAB_r4.jsonl) measured ms_per_solve
+    # ~7.5-8 ms at 1024² for EVERY cycle schedule — iteration count and
+    # per-iteration cost trade exactly evenly — so the remaining
+    # iteration lever that costs nothing per iteration is the initial
+    # guess.  Stopping semantics are unchanged: tol_eff stays anchored
+    # to ||b||_inf (main.c:735-767's rule in tol_rel form), so the
+    # converged pressure meets exactly the same tolerance as a cold
+    # solve.  OFF by default: the reference always starts from zero
+    # (main.c:738-741), and the byte-parity configs must match its
+    # iterate trajectory class; the benchmark turns it on.
+    warm_start: bool = False
     preconditioner: Preconditioner = "jacobi"
     # Multigrid preconditioner knobs (preconditioner="mg"): V(pre,post)
     # damped-Jacobi cycles over 2x-coarsened mask hierarchies down to
@@ -138,7 +151,15 @@ class SimConfig:
     #              ~1000x faster on TPU at scale), at the cost of
     #              dropping arrivals beyond slots_per_cell in one cell.
     marker_layout: str = "global"
-    slots_per_cell: int = 8
+    # 16 makes the slot store LOSSLESS on every observed workload: the
+    # per-cell maximum under reference semantics (uint8-bounded,
+    # main.c:92-97) measured 16 on waterfall and <= 13 elsewhere over 50
+    # frames, and 9 on the 256² dam break over 30.  The fused kernel's
+    # march is kmax-bounded and its re-binning fills slots >= 8 only in
+    # a per-tile overflow pass, so the deep store costs ~0 vector work
+    # on drop-free tiles (marker_fused_kernel.py).  Any residual drop
+    # past 16 still lands in the dropped_markers counter.
+    slots_per_cell: int = 16
     # Replicate the reference's cross-marker dt leak (global layout
     # only): advect_markers mutates its dt parameter on collisions and
     # never resets it between markers (main.c:465-537, `dt -= t_prev`),

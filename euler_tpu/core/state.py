@@ -81,6 +81,13 @@ class FluidState:
     # stats and bench JSON, and asserted zero over the golden scenarios.
     # Always 0 in the "global" layout.
     dropped_markers: jax.Array = None  # i32 scalar
+    # Last substep's clamped pressure (zeros before any solve).  The
+    # reference solves from scratch each substep (main.c:738-741); with
+    # cfg.solver.warm_start the MG-PCG paths seed the next solve from
+    # this plane (same stopping tolerance — see ops/project.pcg_loop).
+    # Carried across frames: a frame boundary is just another substep
+    # boundary of the same flow.
+    p: jax.Array = None  # f32 [Y, X]
 
     @property
     def fluid(self) -> jax.Array:
@@ -111,6 +118,7 @@ def zeros_state(cfg: SimConfig, rng_pair: np.ndarray) -> FluidState:
         rng=jnp.asarray(rng_pair, jnp.uint32),
         frame_count=jnp.zeros((), jnp.int32),
         dropped_markers=jnp.zeros((), jnp.int32),
+        p=jnp.zeros((Y, X), f),
     )
 
 

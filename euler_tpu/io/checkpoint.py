@@ -76,6 +76,10 @@ def load(path: str):
             elif n == "dropped_markers":
                 # checkpoints written before the drop counter existed
                 fields[n] = jnp.zeros((), jnp.int32)
+            elif n == "p":
+                # checkpoints written before the pressure carry existed
+                ny, nx = np.asarray(z["state.u"]).shape
+                fields[n] = jnp.zeros((ny, nx), jnp.asarray(z["state.u"]).dtype)
             else:
                 raise KeyError(key)
         state = FluidState(**fields)

@@ -112,20 +112,33 @@ def _unpack_mg_refs(shapes, refs):
 def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
                cheby_degree: int, cheby_ratio: float,
                coarse_degree: int, coarse_ratio: float,
-               w: int, w_depth: int,
+               w: int, w_depth: int, warm: bool,
                b_ref, *refs):
     """Standalone solver kernel: copy the RHS into the residual plane
-    (no-op when aliased; real under interpret) and run the shared body."""
+    (no-op when aliased; real under interpret) and run the shared body.
+
+    With `warm`, one extra trailing INPUT (the initial guess) precedes
+    the outputs; it is aliased into the p output buffer, so the solve
+    body reads the guess straight from p_ref and the extra ref itself
+    is dropped here (interpret mode aside, they are the same memory)."""
     del cheby_ratio, coarse_ratio  # schedules baked into the SMEM rows
+    refs = list(refs)
+    L = len(shapes)
+    if warm:
+        x0_ref = refs.pop(2 + 5 * (L - 1))
     unpacked = _unpack_mg_refs(shapes, refs)
+    p_ref = unpacked[5]
     r_ref = unpacked[8]
     Y0 = shapes[0][0]
     C0 = chunks[0]
     for c in range(Y0 // C0):
         r0, r1 = c * C0, (c + 1) * C0
         r_ref[r0:r1] = b_ref[r0:r1]
+        if warm:
+            p_ref[r0:r1] = x0_ref[r0:r1]
     _mg_pcg_solve(shapes, chunks, max_iters, tol, tol_rel,
-                  cheby_degree, coarse_degree, w, w_depth, *unpacked)
+                  cheby_degree, coarse_degree, w, w_depth, *unpacked,
+                  warm=warm)
 
 
 def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
@@ -327,9 +340,15 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
                   coefs_ref, packed0, coef, Rx, RxT,
                   p_ref, iters_ref, resid_ref, r_ref,
                   z_ref, cd_ref, cr_ref, s_ref, as_ref,
-                  x_l, b_l, d_l, rr_l):
+                  x_l, b_l, d_l, rr_l, warm: bool = False):
     """MG-preconditioned CG given the RHS already in r_ref (which is
-    consumed in place as the residual).  Writes p/iters/resid."""
+    consumed in place as the residual).  Writes p/iters/resid.
+
+    `warm` (static): p_ref arrives holding the initial guess (the
+    previous substep's pressure) instead of being zero-filled; it is
+    re-masked to the current fluid plane (decoded from packed0) and the
+    initial residual becomes b - A p0.  The stopping tolerance stays
+    anchored to ||b||_inf — exactly the cold solve's target."""
     f32 = jnp.float32
     cycle, apply_rows = make_mg_cycle(
         shapes, chunks, cheby_degree, coarse_degree, w, w_depth,
@@ -344,16 +363,40 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
     rmax0 = jnp.zeros((), f32)
     for c in range(nchunks0):
         r0, r1 = c * C0, (c + 1) * C0
-        p_ref[r0:r1] = jnp.zeros((C0, X0), f32)
+        if not warm:
+            p_ref[r0:r1] = jnp.zeros((C0, X0), f32)
         rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(r_ref[r0:r1])))
     nonzero = rmax0 != 0.0
     tol_eff = jnp.maximum(jnp.asarray(tol, f32),
                           jnp.asarray(tol_rel, f32) * rmax0)
 
+    if warm:
+        assert packed0 is not None, "warm start needs the packed plane"
+        # mask the guess to the CURRENT fluid (markers moved since the
+        # pressure was solved), zero it on an all-zero RHS (the result
+        # must be p = 0 exactly, e.g. inactive substeps), THEN subtract
+        # A p0 — a separate sweep so apply_rows' cross-chunk neighbour
+        # rows never read half-updated p
+        on = jnp.where(nonzero, 1.0, 0.0)
+        for c in range(nchunks0):
+            r0, r1 = c * C0, (c + 1) * C0
+            fl = jnp.where(packed0[r0:r1] >= 8.0, 1.0, 0.0)
+            p_ref[r0:r1] = p_ref[r0:r1] * fl * on
+        rwarm = jnp.zeros((), f32)
+        for c in range(nchunks0):
+            r0, r1 = c * C0, (c + 1) * C0
+            r = r_ref[r0:r1] - apply_rows(0, p_ref, r0, r1)
+            r_ref[r0:r1] = r
+            rwarm = jnp.maximum(rwarm, jnp.max(jnp.abs(r)))
+        # the guess may already satisfy the tolerance (NaN-robust form)
+        done0 = (~nonzero) | jnp.logical_not(rwarm > tol_eff)
+    else:
+        done0 = ~nonzero
+
     # all_zero early-out (main.c:742): skip even the initial W-cycle —
     # the inactive-substep fast path (sim.py dt_proj = inf) produces an
     # exactly-zero RHS every discarded substep
-    @pl.when(nonzero)
+    @pl.when(jnp.logical_not(done0))
     def _initial_cycle():
         cycle(0)
 
@@ -399,7 +442,7 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
             s_ref[r0:r1] = z_ref[r0:r1] + beta * s_ref[r0:r1]
         return (sigma_new, i + 1, conv)
 
-    _, i, _ = jax.lax.while_loop(cond, body, (sigma0, jnp.int32(0), ~nonzero))
+    _, i, _ = jax.lax.while_loop(cond, body, (sigma0, jnp.int32(0), done0))
     iters_ref[0, 0] = i
     rmax = jnp.zeros((), f32)
     for c in range(nchunks0):
@@ -474,14 +517,16 @@ def mg_scratch_shapes(shapes):
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
-                             interpret: bool = False):
+                             interpret: bool = False, x0=None):
     """One-launch Galerkin MG-PCG.  Returns (p, iterations, residual),
-    same contract as ops.project.solve_pressure."""
+    same contract as ops.project.solve_pressure.  `x0` (optional)
+    warm-starts the PCG iteration (see _mg_pcg_solve)."""
     Y, X = cfg.ny, cfg.nx
     f = jnp.float32
     (shapes, chunks, packed0, coef_planes, coef_rows, Rx,
      RxT) = mg_host_operands(cfg, a_diag, fluid)
     L = len(shapes)
+    warm = x0 is not None
 
     kernel = functools.partial(
         _mg_kernel, shapes, chunks,
@@ -490,12 +535,15 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         cfg.solver.mg_cheby_degree, float(cfg.solver.mg_cheby_ratio),
         cfg.solver.mg_coarse_iters, float(cfg.solver.mg_coarse_ratio),
         2 if cfg.solver.mg_cycle == "w" else 1,
-        cfg.solver.mg_w_depth,
+        cfg.solver.mg_w_depth, warm,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_in = 1 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1)
+    n_in = 1 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1) + (1 if warm else 0)
     in_specs = [vmem, smem] + [vmem] * (n_in - 2)
+    operands = [b.astype(f), coef_rows, packed0, *coef_planes, *Rx, *RxT]
+    if warm:
+        operands.append(x0.astype(f))
     out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -512,7 +560,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(b.astype(f), coef_rows, packed0, *coef_planes, *Rx, *RxT)
+    )(*operands)
     p, iters, resid, _r = out
     return p, iters[0, 0], resid[0, 0]
 

@@ -206,11 +206,14 @@ def _grid_stage_sweeps(cfg: SimConfig, Y, X, C, dt,
 
 def _substep_kernel(cfg: SimConfig, shapes, chunks,
                     dt_ref, fl_ref, so_ref, pfl_ref, u_ref, v_ref,
-                    *refs):
+                    p0_ref, *refs):
     """refs order (pallas operand stream): remaining inputs
     [coefs(SMEM), packed0, coef planes, Rx, RxT], then outputs
-    [u2, v2, msq, iters, resid] (u2/v2 alias u/v — ut/vt are computed
-    into them in place), then scratch [zu, zv, p, r, <MG scratch>]."""
+    [u2, v2, msq, iters, resid, p] (u2/v2 alias u/v — ut/vt are computed
+    into them in place), then scratch [zu, zv, r, <MG scratch>].
+    p0 (previous substep's clamped pressure) seeds the PCG when
+    cfg.solver.warm_start; the p output is this substep's clamped
+    pressure — the next substep's seed."""
     Y, X = shapes[0]
     L = len(shapes)
     C = chunks[0]
@@ -225,11 +228,13 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         / dt_proj
     )
     neg_inv_rho_h = np.float32(-1.0 / (cfg.density * cfg.side_length))
+    warm = bool(cfg.solver.warm_start)
 
     n_rest = 2 + 5 * (L - 1)  # coefs, packed0, 3(L-1) coef planes, Rx, RxT
     head = list(refs[:n_rest])
-    u2_ref, v2_ref, msq_ref, iters_ref, resid_ref = refs[n_rest:n_rest + 5]
-    zu_ref, zv_ref, p_ref, r_ref = refs[n_rest + 5:n_rest + 9]
+    (u2_ref, v2_ref, msq_ref, iters_ref, resid_ref,
+     p_ref) = refs[n_rest:n_rest + 6]
+    zu_ref, zv_ref, r_ref = refs[n_rest + 6:n_rest + 9]
     mg_scratch = list(refs[n_rest + 9:])
     mg_refs = _unpack_mg_refs(
         shapes,
@@ -269,13 +274,15 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
         div = (ut - shl(ut) + vt - vt_dn) * inv_h
         fl = fl_ref[r0:r1]
         r_ref[r0:r1] = jnp.where(fl != 0, -div * k_inv_scale, 0.0)
+        if warm:
+            p_ref[r0:r1] = p0_ref[r0:r1]
 
     # ---- the whole MG-PCG solve (shared body) ----
     _mg_pcg_solve(shapes, chunks, cfg.solver.max_iterations,
                   float(cfg.solver.tol), float(cfg.solver.tol_rel),
                   cfg.solver.mg_cheby_degree, cfg.solver.mg_coarse_iters,
                   2 if cfg.solver.mg_cycle == "w" else 1,
-                  cfg.solver.mg_w_depth, *mg_refs)
+                  cfg.solver.mg_w_depth, *mg_refs, warm=warm)
 
     # ---- pressure clamp (main.c:773-779) ----
     for c in range(nchunks):
@@ -315,14 +322,18 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
     msq_ref[0, 0] = musq + mvsq
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(0, 9))
 def project_substep_mg(cfg: SimConfig, dt, dt_proj, u, v, fluid,
-                       prev_fluid, solid, interpret: bool = False):
+                       prev_fluid, solid, p0=None,
+                       interpret: bool = False):
     """One-launch grid stage + projection.  Returns
-    (u2, v2, iterations, residual, msq); msq feeds the next substep's
-    CFL dt.  dt drives the grid stage and face update; dt_proj the RHS
-    scale (sim.py passes +inf on inactive substeps so the solve
-    early-outs on an exactly-zero RHS)."""
+    (u2, v2, iterations, residual, msq, p); msq feeds the next substep's
+    CFL dt and p (this substep's clamped pressure) the next substep's
+    warm start.  dt drives the grid stage and face update; dt_proj the
+    RHS scale (sim.py passes +inf on inactive substeps so the solve
+    early-outs on an exactly-zero RHS).  `p0` seeds the PCG when
+    cfg.solver.warm_start (it aliases the p output, so the pressure
+    plane round-trips the substep scan in place)."""
     from euler_tpu.ops.project import pressure_matrix_diag
 
     Y, X = cfg.ny, cfg.nx
@@ -337,13 +348,15 @@ def project_substep_mg(cfg: SimConfig, dt, dt_proj, u, v, fluid,
     pfl = prev_fluid.astype(f)
     dt_arr = jnp.full((1, 128), dt, f).at[0, 1].set(
         jnp.asarray(dt_proj, f))
+    if p0 is None:
+        p0 = jnp.zeros((Y, X), f)
 
     kernel = functools.partial(_substep_kernel, cfg, shapes, chunks)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_in = 6 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1)
-    in_specs = [vmem] * 6 + [smem] + [vmem] * (n_in - 7)
-    u2, v2, msq, iters, resid = pl.pallas_call(
+    n_in = 7 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1)
+    in_specs = [vmem] * 7 + [smem] + [vmem] * (n_in - 8)
+    u2, v2, msq, iters, resid, p = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((Y, X), f),          # u2 (aliases u)
@@ -351,21 +364,22 @@ def project_substep_mg(cfg: SimConfig, dt, dt_proj, u, v, fluid,
             jax.ShapeDtypeStruct((1, 1), f),          # msq
             jax.ShapeDtypeStruct((1, 1), jnp.int32),  # iters
             jax.ShapeDtypeStruct((1, 1), f),          # resid
+            jax.ShapeDtypeStruct((Y, X), f),          # p (aliases p0)
         ],
         in_specs=in_specs,
-        out_specs=[vmem, vmem, smem, smem, smem],
-        input_output_aliases={4: 0, 5: 1},  # u -> u2, v -> v2
+        out_specs=[vmem, vmem, smem, smem, smem, vmem],
+        input_output_aliases={4: 0, 5: 1, 6: 5},  # u->u2, v->v2, p0->p
         scratch_shapes=(
-            [pltpu.VMEM((Y, X), f)] * 4      # zu, zv, p, r
+            [pltpu.VMEM((Y, X), f)] * 3      # zu, zv, r
             + mg_scratch_shapes(shapes)
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dt_arr, fl, so, pfl, u.astype(f), v.astype(f),
+    )(dt_arr, fl, so, pfl, u.astype(f), v.astype(f), p0.astype(f),
       coef_rows, packed0, *coef_planes, *Rx, *RxT)
-    return u2, v2, iters[0, 0], resid[0, 0], msq[0, 0]
+    return u2, v2, iters[0, 0], resid[0, 0], msq[0, 0], p
 
 
 def substep_fused_fits(cfg: SimConfig) -> bool:

@@ -112,12 +112,17 @@ def _inf_norm(r):
     return jnp.max(jnp.abs(r))
 
 
-def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
+def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None,
+             x0=None):
     """The PCG recurrence of main.c:738-767, parameterised over its
     communication primitives so single-device and domain-decomposed
     solvers share ONE body (parallel/halo.py plugs in psum/pmax
     reductions and a halo-exchanging apply; everything here — break
     placement, all_zero early-out, tol_rel stopping — is common).
+
+    `x0` (optional, must be zero outside the fluid) warm-starts the
+    iteration; the stopping tolerance stays anchored to ||b||_inf, so
+    the converged solution meets exactly the cold solve's tolerance.
 
     Returns (p, iterations, residual)."""
     sdt = b.dtype
@@ -125,12 +130,7 @@ def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
     dot = _masked_dot if dot is None else dot
     inf_norm = _inf_norm if inf_norm is None else inf_norm
 
-    r = b
-    z = precon(r)
-    s = z
-    sigma = dot(z, r)
-    p = jnp.zeros_like(b)
-    b_norm = inf_norm(r)
+    b_norm = inf_norm(b)
     # ||r|| <= max(tol, tol_rel * ||b||)  (tol_rel = 0 -> reference rule)
     tol = jnp.maximum(
         jnp.asarray(cfg.solver.tol, sdt),
@@ -138,6 +138,18 @@ def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
     )
     # all_zero early-out (main.c:742): an exactly-zero RHS skips the loop.
     nonzero = b_norm != 0
+    if x0 is None:
+        p = jnp.zeros_like(b)
+        r = b
+        done0 = ~nonzero
+    else:
+        p = jnp.where(nonzero, x0, 0).astype(sdt)
+        r = b - apply_fn(p)
+        # the guess may already satisfy the tolerance (NaN-robust form)
+        done0 = (~nonzero) | jnp.logical_not(inf_norm(r) > tol)
+    z = precon(r)
+    s = z
+    sigma = dot(z, r)
 
     def cond(carry):
         p, r, s, sigma, i, done = carry
@@ -163,13 +175,19 @@ def pcg_loop(cfg: SimConfig, b, apply_fn, precon, dot=None, inf_norm=None):
         return (p, r, s, sigma_new, i + 1, conv)
 
     p, r, s, sigma, iters, done = jax.lax.while_loop(
-        cond, body, (p, r, s, sigma, jnp.int32(0), ~nonzero)
+        cond, body, (p, r, s, sigma, jnp.int32(0), done0)
     )
     return p, iters, inf_norm(r)
 
 
-def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
-    """PCG for A p = b (main.c:738-767).  Returns (p, iterations, resid)."""
+def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None, x0=None):
+    """PCG for A p = b (main.c:738-767).  Returns (p, iterations, resid).
+
+    `x0` (from cfg.solver.warm_start) seeds the iteration where the
+    dispatch target supports it (the jnp loop and the resident MG
+    kernel); the Jacobi and HBM-stream kernels ignore it — they are the
+    non-converged speed-mode / beyond-VMEM fallbacks, where the
+    iteration budget, not the guess, bounds the solve."""
     if cfg.solver.use_pallas:
         from euler_tpu.ops.pallas.pcg_kernel import (
             pallas_solver_fits,
@@ -184,7 +202,8 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
         )
 
         if solid is not None and mg_pallas_fits(cfg):
-            return solve_pressure_mg_pallas(cfg, b, a_diag, fluid, solid)
+            return solve_pressure_mg_pallas(cfg, b, a_diag, fluid, solid,
+                                            x0=x0)
         from euler_tpu.ops.pallas.mg_stream_kernel import (
             solve_pressure_mg_stream,
             stream_mg_fits,
@@ -204,15 +223,24 @@ def solve_pressure(cfg: SimConfig, b, a_diag, fluid, solid=None):
             return solve_pressure_stream(cfg, b, a_diag, fluid)
 
     precon = _make_preconditioner(cfg, a_diag, fluid, solid, b.dtype)
-    return pcg_loop(cfg, b, lambda s: apply_a(a_diag, fluid, s), precon)
+    return pcg_loop(cfg, b, lambda s: apply_a(a_diag, fluid, s), precon,
+                    x0=x0)
 
 
-def project(cfg: SimConfig, dt, u, v, fluid, solid):
-    """Full projection (main.c:709-806): returns (u_out, v_out, info)."""
+def project(cfg: SimConfig, dt, u, v, fluid, solid, p0=None):
+    """Full projection (main.c:709-806): returns (u_out, v_out, info).
+
+    `p0` (cfg.solver.warm_start): previous substep's pressure as the
+    solve's initial guess; it is re-masked to the CURRENT fluid cells
+    (markers moved since) so iterates stay exactly zero outside the
+    fluid — the invariant the masked dot/norm equivalences need."""
     f = u.dtype
     b = divergence_rhs(cfg, u, v, fluid, dt)
     a_diag = pressure_matrix_diag(cfg, solid, fluid)
-    p, iters, resid = solve_pressure(cfg, b, a_diag, fluid, solid)
+    x0 = None
+    if p0 is not None and cfg.solver.warm_start:
+        x0 = jnp.where(fluid, p0, 0).astype(b.dtype)
+    p, iters, resid = solve_pressure(cfg, b, a_diag, fluid, solid, x0=x0)
 
     # pressure clamp >= 0 (main.c:773-779)
     p = jnp.where(fluid, jnp.maximum(p, 0), 0)

@@ -75,6 +75,7 @@ def state_sharding(mesh: Mesh) -> FluidState:
         marker_count=grid, prev_marker_count=grid,
         alive_count=scalar, source_exhausted=scalar,
         rng=scalar, frame_count=scalar, dropped_markers=scalar,
+        p=grid,
     )
 
 

@@ -97,7 +97,7 @@ def spatial_state_sharding(mesh: Mesh) -> FluidState:
         markers=planes, alive=valid,
         marker_count=grid, prev_marker_count=grid,
         alive_count=rep, source_exhausted=rep, rng=rep, frame_count=rep,
-        dropped_markers=rep,
+        dropped_markers=rep, p=grid,
     )
 
 

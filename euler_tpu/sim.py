@@ -141,14 +141,18 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             project_substep_mg,
         )
 
-        fused = (project_substep_mg
-                 if cfg.solver.preconditioner == "mg"
-                 else project_substep_jacobi)
-        u2, v2, _iters, _resid, msq = fused(
-            cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
-            interpret=cfg.solver.pallas_interpret,
-        )
-        return state.replace(u=u2, v=v2), msq
+        if cfg.solver.preconditioner == "mg":
+            u2, v2, _iters, _resid, msq, p2 = project_substep_mg(
+                cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
+                state.p, interpret=cfg.solver.pallas_interpret,
+            )
+        else:
+            u2, v2, _iters, _resid, msq = project_substep_jacobi(
+                cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
+                interpret=cfg.solver.pallas_interpret,
+            )
+            p2 = state.p  # jacobi speed mode never warm-starts
+        return state.replace(u=u2, v=v2, p=p2), msq
 
     if cfg.use_pallas_grid and not cfg.rainbow:
         # fused Pallas grid stage (extrapolate -> zero -> advect ->
@@ -185,8 +189,10 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             cfg, dt_proj, ut, vt, fluid, solid
         )
     else:
-        u2, v2, _info = project(cfg, dt_proj, ut, vt, fluid, solid)
+        u2, v2, _info = project(cfg, dt_proj, ut, vt, fluid, solid,
+                                p0=state.p)
         msq = max_speed_sq(cfg, u2, v2)
+        return state.replace(u=u2, v=v2, p=_info["pressure"]), msq
     return state.replace(u=u2, v=v2), msq
 
 
@@ -266,6 +272,11 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState,
                 b=sel(new_state.b, state.b),
                 prev_marker_count=sel(new_state.prev_marker_count,
                                       state.prev_marker_count),
+                # inactive substeps early-out to p = 0; keep the real
+                # pressure so the NEXT frame's warm start survives the
+                # frame's trailing inactive lanes
+                p=(sel(new_state.p, state.p)
+                   if state.p is not None else None),
             )
         else:
             state = _tree_select(active, new_state, state)

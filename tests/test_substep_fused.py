@@ -82,7 +82,7 @@ def test_fused_substep_matches_op_sequence():
     dt = jnp.float32(0.03)
 
     u_ref, v_ref, it_ref, msq_ref = _reference(cfg, scn, st, dt, dt)
-    u2, v2, iters, resid, msq = project_substep_mg(
+    u2, v2, iters, resid, msq, _p = project_substep_mg(
         cfg, dt, dt, st.u, st.v, st.fluid, st.prev_fluid, scn.solid,
         interpret=True,
     )
@@ -104,7 +104,7 @@ def test_fused_substep_inactive_is_free():
     downstream of a where())."""
     cfg = _cfg()
     scn, st = _developed_state(cfg)
-    u2, v2, iters, resid, msq = project_substep_mg(
+    u2, v2, iters, resid, msq, _p = project_substep_mg(
         cfg, jnp.float32(0.0), jnp.float32(np.inf),
         st.u, st.v, st.fluid, st.prev_fluid, scn.solid, interpret=True,
     )
