@@ -159,7 +159,16 @@ class SimConfig:
     # a per-tile overflow pass, so the deep store costs ~0 vector work
     # on drop-free tiles (marker_fused_kernel.py).  Any residual drop
     # past 16 still lands in the dropped_markers counter.
-    slots_per_cell: int = 16
+    #
+    # Default stays 8: on silicon, K = 16 with the default 128x512
+    # marker tile OOMs VMEM (Mosaic liveness peaks at 245.7M of the
+    # v5e's 128M — MEASURE_r4.jsonl.err, all four bench rungs), so the
+    # lossless depth requires a narrower tile (128x256 halves the slot
+    # scratch) until the overflow pass's live set is restructured.
+    # bench.py --slots-per-cell 16 --marker-tile 128x256 is the
+    # measured opt-in; drops at K = 8 are 0 on all golden scenarios and
+    # ~0.04% on the 1024² dam break (PERF.md).
+    slots_per_cell: int = 8
     # Replicate the reference's cross-marker dt leak (global layout
     # only): advect_markers mutates its dt parameter on collisions and
     # never resets it between markers (main.c:465-537, `dt -= t_prev`),

@@ -419,8 +419,35 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
         # <= K//2 every slot k >= KE is dead everywhere in the window, so
         # a half-depth re-binning is exact at roughly half the (view,
         # slot) insertion pairs — the common case on settled flows where
-        # most cells hold their seeded 4 markers (K defaults to 8).
-        def rebin(KE):
+        # most cells hold their seeded 4 markers.
+        #
+        # DP parametrises the DESTINATION-slot depth of the PRIMARY
+        # insertion pass.  With the lossless 16-slot store (K = 16,
+        # config.slots_per_cell — sized from the measured per-cell
+        # maximum of 16 across all bundled scenarios at 50 frames),
+        # destinations 8..K-1 exist only to absorb the rare > 8-arrivals
+        # cell (the reference bounds per-cell counts only by its uint8
+        # counter, main.c:92-97): the primary pass writes d < DP = 8 and
+        # accumulates the full rank count; a SECOND pass, gated per-tile
+        # on any cell's accepted count actually exceeding DP, re-walks
+        # the views writing only d in [DP, K).  Drop-free tiles pay
+        # nothing beyond zero-filling the overflow planes, so the
+        # lossless store costs ~0 vector work on settled flow.
+        DP = min(K, 8)
+
+        def store_px(d, val):
+            if padded_out:
+                osl[n % 2, d] = val
+            else:
+                oslots_ref[d] = val
+
+        def store_py(d, val):
+            if padded_out:
+                osl[n % 2, K + d] = val
+            else:
+                oslots_ref[K + d] = val
+
+        def movement_codes(KE):
             # movement CODE per marched slot: (movy+1)*3 + (movx+1) in
             # 0..8 (CFL bounds movement to one cell) — per-view selection
             # is then ONE compare against the view's constant instead of
@@ -434,10 +461,67 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                 # dead slots get code -1 (matches no view)
                 movc.append(jnp.where(k < hcnt, (my + 1) * 3 + (mx + 1),
                                       jnp.int32(-1)))
+            return movc
+
+        def overflow_views(KE, movc, stays):
+            """Destinations [DP, K): only arrivals (never stayers — a
+            stayer's rank is bounded by its slot index < KE <= DP) of
+            the 8 neighbour views, starting from the stayer run count."""
+            nd = ~dead
+            run = jnp.zeros((TY, TX), jnp.int32)
+            for k in range(KE):
+                run = run + stays[k].astype(jnp.int32)
+            acc_px = [jnp.zeros((TY, TX), f) for _ in range(DP, K)]
+            acc_py = [jnp.zeros((TY, TX), f) for _ in range(DP, K)]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    ys, xs = 1 - dy, 1 - dx
+                    vc = (dy + 1) * 3 + (dx + 1)
+                    sels = [movc[k][ys : ys + TY, xs : xs + TX] == vc
+                            for k in range(KE)]
+                    any_sel = sels[0]
+                    for s in sels[1:]:
+                        any_sel = any_sel | s
+
+                    def insert_view(carry, _ys=ys, _xs=xs, _sels=sels):
+                        run, acc_px, acc_py = carry
+                        for k in range(KE):
+                            spx = ssc[bslot * 2 * K + k,
+                                      SB + _ys : SB + _ys + TY,
+                                      SBL + _xs : SBL + _xs + TX]
+                            spy = ssc[bslot * 2 * K + K + k,
+                                      SB + _ys : SB + _ys + TY,
+                                      SBL + _xs : SBL + _xs + TX]
+                            snd = _sels[k] & nd
+                            for d in range(DP, K):
+                                m = snd & (run == d)
+                                acc_px[d - DP] = jnp.where(m, spx,
+                                                           acc_px[d - DP])
+                                acc_py[d - DP] = jnp.where(m, spy,
+                                                           acc_py[d - DP])
+                            run = run + _sels[k].astype(jnp.int32)
+                        return run, acc_px, acc_py
+
+                    run, acc_px, acc_py = jax.lax.cond(
+                        jnp.any(any_sel),
+                        insert_view,
+                        lambda carry: carry,
+                        (run, acc_px, acc_py),
+                    )
+            for d in range(DP, K):
+                store_px(d, acc_px[d - DP])
+                store_py(d, acc_py[d - DP])
+
+        def rebin(KE, DEST=None):
+            if DEST is None:
+                DEST = K  # single full-depth pass (no overflow split)
+            movc = movement_codes(KE)
 
             run = jnp.zeros((TY, TX), jnp.int32)
-            acc_px = [jnp.zeros((TY, TX), f) for _ in range(K)]
-            acc_py = [jnp.zeros((TY, TX), f) for _ in range(K)]
+            acc_px = [jnp.zeros((TY, TX), f) for _ in range(DEST)]
+            acc_py = [jnp.zeros((TY, TX), f) for _ in range(DEST)]
 
             # ---- own cell first (offset (0, 0), OFFSETS_OWN_FIRST[0]):
             # processed before any arrival, so a stayer's destination
@@ -516,7 +600,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                                       SB + _ys : SB + _ys + TY,
                                       SBL + _xs : SBL + _xs + TX]
                             snd = _sels[k] & nd
-                            for d in range(K):
+                            for d in range(DEST):
                                 m = snd & (run == d)
                                 acc_px[d] = jnp.where(m, spx, acc_px[d])
                                 acc_py[d] = jnp.where(m, spy, acc_py[d])
@@ -543,14 +627,26 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
             count = jnp.where(dead, 0, accepted)
             drop = jnp.where(dead, 0, run - accepted)
 
-            if padded_out:
-                for d in range(K):
-                    osl[n % 2, d] = acc_px[d]
-                    osl[n % 2, K + d] = acc_py[d]
-            else:
-                for d in range(K):
-                    oslots_ref[d] = acc_px[d]
-                    oslots_ref[K + d] = acc_py[d]
+            for d in range(DEST):
+                store_px(d, acc_px[d])
+                store_py(d, acc_py[d])
+            if DEST < K:
+                # rare second pass: some cell's accepted count exceeds
+                # the primary destination depth — fill slots [DEST, K).
+                # Otherwise zero-fill them (bitwise-equal to the jnp
+                # twin's zero accumulators at dead slots).
+                overflow = jnp.any(count > DEST)
+
+                @pl.when(overflow)
+                def _spill():
+                    overflow_views(KE, movc, stays)
+
+                @pl.when(jnp.logical_not(overflow))
+                def _zero_tail():
+                    zf = jnp.zeros((TY, TX), f)
+                    for d in range(DEST, K):
+                        store_px(d, zf)
+                        store_py(d, zf)
             ocnt_ref[:] = count
             odrop_ref[:] = drop
 
@@ -564,7 +660,25 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
             def _drain():
                 out_dma(prev).wait()
 
-        if cfg.marker_kmax_specialize and K >= 2:
+        if cfg.marker_kmax_specialize and K >= 2 and K > DP:
+            # three tiers for the lossless deep store (K = 16): the two
+            # shallow tiers use the overflow-split primary pass (KE <=
+            # DP keeps stayer ranks below the split); the rare deep tier
+            # (some cell already holds > K//2) runs one full-depth pass.
+            t1, t2 = min(K // 4, DP), min(K // 2, DP)
+
+            @pl.when(kmax <= t1)
+            def _tiny():
+                rebin(t1, DP)
+
+            @pl.when((kmax > t1) & (kmax <= t2))
+            def _small():
+                rebin(t2, DP)
+
+            @pl.when(kmax > t2)
+            def _deep():
+                rebin(K)
+        elif cfg.marker_kmax_specialize and K >= 2:
             small = kmax <= K // 2
 
             @pl.when(small)
