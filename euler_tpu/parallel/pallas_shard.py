@@ -159,3 +159,39 @@ def make_spatial_step_pallas(cfg: SimConfig, mesh: Mesh, axis: str = "y",
     scn_sh = spatial_scenario_sharding(mesh)
     st_sh = spatial_state_sharding(mesh)
     return jax.jit(step, in_shardings=(scn_sh, st_sh), out_shardings=st_sh)
+
+
+def make_dp_substep_mg(cfg: SimConfig, mesh: Mesh, axis: str = "data",
+                       interpret: bool = False):
+    """The mega-fused MG substep kernel (ops/pallas/substep_kernel.py)
+    under a DATA-parallel shard_map: one independent scenario instance
+    per device along mesh[axis], the single-launch kernel dispatched
+    per shard.  This is the multi-chip configuration for batched
+    serving of the fused substep — the kernel itself is single-device
+    VMEM-resident; spatial decomposition of the SOLVE uses
+    parallel/halo.py, and of the MARKER pass make_sharded_marker_pass.
+
+    Returns a jitted fn:
+      (dt, dt_proj, u[B], v[B], fluid[B], prev_fluid[B], solid[B],
+       p0[B]) -> (u2[B], v2[B], iters[B], resid[B], msq[B], p[B])
+    with B == mesh.shape[axis]."""
+    from euler_tpu.ops.pallas.substep_kernel import project_substep_mg
+
+    spec = P(axis)
+    rep = P()
+
+    def local(dt, dt_proj, u, v, fluid, prev_fluid, solid, p0):
+        # one instance per device: the local batch dim is 1
+        u2, v2, iters, resid, msq, p = project_substep_mg(
+            cfg, dt, dt_proj, u[0], v[0], fluid[0], prev_fluid[0],
+            solid[0], p0[0], interpret)
+        one = lambda a: jnp.asarray(a)[None]
+        return (one(u2), one(v2), one(iters), one(resid), one(msq),
+                one(p))
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, spec, spec, spec, spec, spec, spec),
+        out_specs=(spec,) * 6,
+        check_vma=False,
+    ))
