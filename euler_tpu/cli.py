@@ -94,8 +94,11 @@ def _build(args):
     if converged is None:
         converged = use_pallas and nx * ny >= 512 * 512
     solver = (
+        # warm_start: seed each substep's solve from the previous
+        # pressure (same b-anchored tolerance; PERF.md round-4) — only
+        # meaningful for the converged mode, matches bench.py defaults
         SolverConfig(use_pallas=use_pallas, preconditioner="mg",
-                     tol_rel=1e-4, fuse_projection=True)
+                     tol_rel=1e-4, fuse_projection=True, warm_start=True)
         if converged
         else SolverConfig(use_pallas=use_pallas)
     )
