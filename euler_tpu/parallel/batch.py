@@ -69,3 +69,55 @@ def run_frames_batched(cfg: SimConfig, scn, state, n: int):
 @partial(jax.jit, static_argnums=(0, 3))
 def run_frames_batched_jit(cfg, scn, state, n: int):
     return run_frames_batched(cfg, scn, state, n)
+
+
+class HostBatchRunner:
+    """Host-level data parallelism over independent scenario instances:
+    one compiled PER-INSTANCE frame program, dispatched round-robin so
+    the device pipelines B instances back to back.
+
+    This is the supported single-chip batch path for configs whose
+    fused Pallas kernels cannot go through jax.vmap: batching the fused
+    marker kernel at 1024² trips XLA's scoped-vmem accounting for
+    custom calls (a 16 MB scoped-vmem stack limit on the tunneled
+    runtime with no exposed override flag — bench.py measured the
+    failure; minimal repro = jax.vmap(march_rebin_pallas) at
+    nx = ny = 1024).  vmap batching of the full step remains supported
+    at vmap-compatible sizes (step_frame_batched above) and is what a
+    multi-chip data-parallel mesh uses.
+
+    Aggregate throughput equals the vmap question for independent
+    instances: the device executes B identical programs with host
+    dispatch overlapped (dispatch is asynchronous; sync once at the
+    end via host reads)."""
+
+    def __init__(self, cfg: SimConfig, pairs, spatial: bool | None = None):
+        """pairs: list of (Scenario, FluidState).  spatial: convert slot
+        stores to the [2, K, Y, X] spatial planes (defaults to True for
+        the slots layout — the TPU-native store)."""
+        from euler_tpu.sim import step_frame_jit
+
+        if spatial is None:
+            spatial = cfg.marker_layout == "slots"
+        if spatial:
+            from euler_tpu.parallel.spatial import to_spatial
+
+            pairs = [(scn, to_spatial(cfg, st)) for scn, st in pairs]
+        self.cfg = cfg
+        self.scns = [p[0] for p in pairs]
+        self.states = [p[1] for p in pairs]
+        self._step = step_frame_jit
+
+    def run(self, n_frames: int):
+        """Advance every instance n_frames; returns the states."""
+        for _ in range(n_frames):
+            self.states = [
+                self._step(self.cfg, scn, st)
+                for scn, st in zip(self.scns, self.states)
+            ]
+        return self.states
+
+    def sync(self):
+        """Block until every instance's work is done (host reads — a
+        true barrier even on runtimes that ignore block_until_ready)."""
+        return [float(st.u.sum()) for st in self.states]
