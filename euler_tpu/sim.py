@@ -192,7 +192,13 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         u2, v2, _info = project(cfg, dt_proj, ut, vt, fluid, solid,
                                 p0=state.p)
         msq = max_speed_sq(cfg, u2, v2)
-        return state.replace(u=u2, v=v2, p=_info["pressure"]), msq
+        if state.p is not None:
+            # the solver may run wider than the state (f64 parity
+            # configs); the carry keeps the state dtype
+            return state.replace(
+                u=u2, v=v2,
+                p=_info["pressure"].astype(state.p.dtype)), msq
+        return state.replace(u=u2, v=v2), msq
     return state.replace(u=u2, v=v2), msq
 
 
