@@ -126,12 +126,14 @@ def main():
                     help="slot-store depth K (default: config default, "
                          "16 = lossless; 8 = round-3 store, A/B flag)")
     ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
-                    default=None,
+                    default=False,
                     help="after the headline (mg) line is printed, also "
                          "run the jacobi speed mode and print a second "
                          "line with speed_mode_* fields added (default: "
-                         "on only for the all-defaults benchmark run — "
-                         "any A/B flag would make it a fresh compile)")
+                         "OFF — even a warm-cache speed-mode warm-up is "
+                         "~7 min of deserialize+load on this host, which "
+                         "ate the driver window twice; BENCH_r03/r04 "
+                         "rc=124)")
     ap.add_argument("--fuse-projection", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="one-launch fused projection kernel (when it fits)")
@@ -173,22 +175,6 @@ def main():
         args.tol_rel = 1e-4 if args.precon == "mg" else 1e-6
     if args.warm_start is None:
         args.warm_start = args.precon == "mg"
-    # also_speed default: ON only when every kernel-affecting flag is at
-    # its default (the plain driver benchmark) — then both kernel
-    # families are warm-cache one-execution runs.  ANY A/B flag
-    # (--no-fuse-projection, --padded-store, --marker-tile, --cpu,
-    # --no-pallas, ...) would make the speed mode a fresh multi-minute
-    # Mosaic compile, contradicting the A/B's purpose (ADVICE r3).
-    if args.also_speed is None:
-        args.also_speed = (
-            args.precon == "mg" and args.batch == 1 and not args.rainbow
-            and args.size == 1024 and args.layout == "slots"
-            and args.pallas and not args.cpu and args.fuse_projection
-            and not args.padded_store and args.marker_tile == "128x512"
-            and args.tol_rel == 1e-4 and args.pcg_iters == 100
-            and args.warm_start and args.slots_per_cell is None
-        )
-
     threading.Thread(target=_watchdog, daemon=True).start()
 
     # Fallback ladder: a fresh kernel's first real Mosaic compile can
@@ -489,8 +475,23 @@ def _headline_record(args, cfg, value, residual, active_substeps, dropped,
         "dropped_markers": dropped,
         "tol_rel": args.tol_rel,
         "warm_start": bool(args.warm_start and args.precon == "mg"),
+        # whether the dispatched solver actually CONSUMES the guess:
+        # the resident MG forms (fused substep / mg_kernel) and the XLA
+        # path honour x0; the HBM-streamed MG at 2048²+ ignores it
+        # (solve_pressure docstring) — ADVICE r4
+        "warm_start_effective": _warm_start_effective(args, cfg),
         **extra,
     }
+
+
+def _warm_start_effective(args, cfg):
+    if not (args.warm_start and args.precon == "mg"):
+        return False
+    if not cfg.solver.use_pallas:
+        return True
+    from euler_tpu.ops.pallas.mg_kernel import mg_pallas_fits
+
+    return bool(mg_pallas_fits(cfg))
 
 
 if __name__ == "__main__":

@@ -269,18 +269,63 @@ def apply_edge(level: EdgeLevel, x):
     )
 
 
-def coarsen_galerkin(level: EdgeLevel) -> EdgeLevel:
-    """A_{l+1} = P^T A_l P for constant prolongation (2x2 blocks)."""
-    Y, X = level.c.shape
-    blk = lambda a: a.reshape(Y // 2, 2, X // 2, 2)  # noqa: E731
-    cb, eb, nb = blk(level.c), blk(level.e), blk(level.n)
-    c_c = cb.sum(axis=(1, 3)) + 2.0 * (
-        eb[:, :, :, 0].sum(axis=1)      # intra-block x edges
-        + nb[:, 0, :, :].sum(axis=2)    # intra-block y edges
+def _pair_weights(n: int, parity) -> jnp.ndarray:
+    """[n, n//2] 0/1 matrix: column j sums fine indices 2j and 2j+1
+    (parity=None), or selects index 2j+parity."""
+    import numpy as np
+
+    W = np.zeros((n, n // 2), np.float32)
+    for j in range(n // 2):
+        if parity is None:
+            W[2 * j, j] = 1.0
+            W[2 * j + 1, j] = 1.0
+        else:
+            W[2 * j + parity, j] = 1.0
+    return jnp.asarray(W)
+
+
+def _ldot(W, a):
+    """[Y, P]^T-contract: sum_y W[y, p] a[y, x] -> [P, X] (MXU, exact)."""
+    import jax
+
+    return jax.lax.dot_general(
+        W.astype(a.dtype), a, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    e_c = eb[:, :, :, 1].sum(axis=1)    # edges crossing east
-    n_c = nb[:, 1, :, :].sum(axis=2)    # edges crossing north
-    act = blk(level.active).any(axis=(1, 3))
+
+
+def _rdot(a, W):
+    import jax
+
+    return jnp.dot(a, W.astype(a.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def coarsen_galerkin(level: EdgeLevel) -> EdgeLevel:
+    """A_{l+1} = P^T A_l P for constant prolongation (2x2 blocks).
+
+    The 2x2 block reductions run as MXU matrix products with 0/1
+    pair-sum / parity-select matrices rather than
+    reshape(Y/2, 2, X/2, 2) + reduce: splitting the LANE dimension
+    relayouts the whole plane, and this build runs per SUBSTEP (the
+    fluid mask moves), where the reshape form profiled at ~30 ms/frame
+    at 1024² — 2.4x the entire fused solve kernel (round-5 trace)."""
+    Y, X = level.c.shape
+    xs, xe, xo = (_pair_weights(X, None), _pair_weights(X, 0),
+                  _pair_weights(X, 1))
+    ys, ye, yo = (_pair_weights(Y, None), _pair_weights(Y, 0),
+                  _pair_weights(Y, 1))
+    # c_c[I,J] = block diagonal sum + 2 * intra-block couplings
+    #   intra-x: sum_a e[2I+a, 2J]   (east edges inside the block)
+    #   intra-y: sum_b n[2I, 2J+b]   (north edges inside the block)
+    c_c = (
+        _ldot(ys, _rdot(level.c, xs))
+        + 2.0 * _ldot(ys, _rdot(level.e, xe))
+        + 2.0 * _ldot(ye, _rdot(level.n, xs))
+    )
+    e_c = _ldot(ys, _rdot(level.e, xo))   # edges crossing east
+    n_c = _ldot(yo, _rdot(level.n, xs))   # edges crossing north
+    act = _ldot(ys, _rdot(level.active.astype(level.c.dtype), xs)) > 0
     return _edge_level(c_c, e_c, n_c, act)
 
 

@@ -118,9 +118,10 @@ def _mg_kernel(shapes, chunks, max_iters: int, tol: float, tol_rel: float,
     (no-op when aliased; real under interpret) and run the shared body.
 
     With `warm`, one extra trailing INPUT (the initial guess) precedes
-    the outputs; it is aliased into the p output buffer, so the solve
-    body reads the guess straight from p_ref and the extra ref itself
-    is dropped here (interpret mode aside, they are the same memory)."""
+    the outputs; solve_pressure_mg_pallas aliases it into the p output
+    buffer (input_output_aliases), so the chunked copy below is a no-op
+    on hardware (real under interpret) and the guess costs no extra VMEM
+    plane."""
     del cheby_ratio, coarse_ratio  # schedules baked into the SMEM rows
     refs = list(refs)
     L = len(shapes)
@@ -147,9 +148,29 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                   x_l, b_l, d_l, rr_l):
     """Build the in-kernel multigrid cycle over VMEM-resident levels.
 
-    Returns (cycle, apply_rows): cycle(0) computes x_l[0] ~= A^{-1}
-    b_l[0] (truncated-W, Chebyshev smoothing; see module docstring);
-    apply_rows(l, ref, r0, r1) is the masked per-level operator.
+    Returns (cycle, apply_rows): cycle(0, dot_b=...) computes x_l[0] ~=
+    A^{-1} b_l[0] (truncated-W, Chebyshev smoothing; see module
+    docstring) and, when dot_b, returns sum(x_l[0] * b_l[0]) accumulated
+    inside the final smoothing sweep (the PCG sigma = <z, r> dot at zero
+    extra passes); apply_rows(l, ref, r0, r1) is the masked per-level
+    operator.
+
+    Pass-count economy (round 5 — the VPU-op-bound solve's per-iteration
+    cost is pass count x per-pass ops, PERF.md round-4 section):
+
+      * the first Chebyshev step of a from-zero smoother is computed
+        DIRECTLY from b by linearity (x1 = b/theta, rr1 = b - A b/theta)
+        — no init sweep, no x zero-fill;
+      * the last step never writes d (dead), and skips the rr update —
+        and hence a whole operator apply — unless the caller keeps rr
+        for the restriction (keep_rr);
+      * restriction READS the smoother-maintained rr (rr = b - A x holds
+        exactly after a keep_rr smoother) instead of re-applying A on
+        every fine row; later W-visits, whose x changed via prolongation,
+        use the full form under pl.when;
+      * a last step that does update rr still fuses into ONE sweep even
+        on multi-chunk levels: it never writes d, so the cross-chunk
+        A d halo reads see stable data.
 
     packed0 may be None: then level 0 uses the edge-weight form and
     coef[0] must hold its (c, e, n) refs — the configuration the
@@ -213,18 +234,31 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         for c in range(Yl // C):
             fn(c * C, (c + 1) * C)
 
-    def cheby(l, degree: int, from_zero: bool):
-        """x_l[l] += Chebyshev correction: `degree` steps on
+    def cheby(l, degree: int, from_zero: bool, keep_rr: bool = False,
+              dot_b: bool = False):
+        """x_l[l] (+)= Chebyshev correction: `degree` steps on
         [lmax/ratio, lmax] (ratio baked into the SMEM schedule;
-        Gershgorin bound).  from_zero skips the initial residual apply
-        (A 0 = 0) and the zero-fill.
+        Gershgorin bound).  from_zero: the initial iterate is an
+        implicit zero (x_l[l] is overwritten, never read).  keep_rr:
+        maintain rr_l[l] = b - A x through the LAST step (the following
+        restriction reads it); otherwise the last step's rr update — and
+        its operator apply — is skipped as dead code.  dot_b: the last
+        step's sweep also accumulates sum(x_new * b_l[l]), returned (the
+        PCG <z, r> dot when called at level 0 on b_0 = r).
 
-        Pass structure is fused for compile time and VMEM traffic: the
-        init writes (x/rr/d) share one sweep, and each degree step is ONE
-        sweep on single-chunk levels (d read before its write; the A d
-        halo rows are zero-filled beyond the level, so no hazard) or two
-        on multi-chunk levels (x/rr first — A d reads d rows across chunk
-        boundaries, so d's write must wait for the full sweep).
+        Specializations (all exact algebra, no approximation):
+          * first step, from_zero: x1 = b/theta and rr1 = b - A b /
+            theta read b directly — one sweep, no init, no zero-fill;
+          * first step, warm (post-smooth): an init sweep writes
+            d0 = (b - A x)/theta (and rr0 only when further steps read
+            it), then the generic steps run;
+          * mid steps: ONE sweep on single-chunk levels (the A d halo
+            rows beyond the level are zero-filled, so the in-chunk d
+            write is hazard-free) or two on multi-chunk levels (the
+            cross-chunk A d halo reads must see the previous d);
+          * last step: x += d only (one sweep at any chunking — d is
+            never written, so halo reads stay stable even when keep_rr
+            adds the A d apply).
 
         Coefficients are NOT computed here: the Golub-Varga recurrences
         are pure functions of the per-level Gershgorin bound, known
@@ -232,24 +266,54 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         10-40 scalar ops per cycle) measured as a dominant serial-latency
         cost.  They arrive precomputed in SMEM, one row per level:
         [inv_theta, c_prev_0, c_r_0, c_prev_1, ...]."""
+        assert degree >= 1
+        assert not (keep_rr and not from_zero), \
+            "post-smooth rr is dead in every cycle shape"
         inv_theta = coefs_ref[l, 0]
         coefs = [(coefs_ref[l, 1 + 2 * k], coefs_ref[l, 2 + 2 * k])
                  for k in range(degree)]
         single = shapes[l][0] == chunks[l]
-        if from_zero:
-            def init(r0, r1):
-                bb = b_l[l][r0:r1]
-                x_l[l][r0:r1] = jnp.zeros_like(bb)
-                rr_l[l][r0:r1] = bb
-                d_l[l][r0:r1] = bb * inv_theta
-            for_chunks(l, init)
-        else:
+        acc = {"dot": jnp.zeros((), f32)}
+
+        if not from_zero:
             def init(r0, r1):
                 rr = b_l[l][r0:r1] - apply_rows(l, x_l[l], r0, r1)
-                rr_l[l][r0:r1] = rr
+                if degree > 1:
+                    rr_l[l][r0:r1] = rr
                 d_l[l][r0:r1] = rr * inv_theta
             for_chunks(l, init)
-        for c_prev, c_r in coefs:
+
+        for k, (c_prev, c_r) in enumerate(coefs):
+            first, last = k == 0, k == degree - 1
+            if first and from_zero:
+                # x1 = b/theta; rr1 = b - A b/theta; d1 = cp*x1 + cr*rr1
+                def step0(r0, r1, c_prev=c_prev, c_r=c_r, last=last):
+                    bb = b_l[l][r0:r1]
+                    x = inv_theta * bb
+                    if (not last) or keep_rr:
+                        rr = bb - inv_theta * apply_rows(l, b_l[l], r0, r1)
+                        rr_l[l][r0:r1] = rr
+                    if not last:
+                        d_l[l][r0:r1] = c_prev * x + c_r * rr
+                    x_l[l][r0:r1] = x
+                    if last and dot_b:
+                        acc["dot"] = acc["dot"] + jnp.sum(x * bb)
+                for_chunks(l, step0)
+                continue
+            if last:
+                # x += d (and rr -= A d only when kept); d is dead and
+                # never written, so this is ONE sweep at any chunking
+                def stepN(r0, r1):
+                    x = x_l[l][r0:r1] + d_l[l][r0:r1]
+                    x_l[l][r0:r1] = x
+                    if keep_rr:
+                        rr_l[l][r0:r1] = (
+                            rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
+                        )
+                    if dot_b:
+                        acc["dot"] = acc["dot"] + jnp.sum(x * b_l[l][r0:r1])
+                for_chunks(l, stepN)
+                continue
             if single:
                 def step(r0, r1, c_prev=c_prev, c_r=c_r):
                     d = d_l[l][r0:r1]
@@ -271,21 +335,39 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                         c_prev * d_l[l][r0:r1] + c_r * rr_l[l][r0:r1]
                     )
                 for_chunks(l, dstep)
+        return acc["dot"]
 
-    def restrict(l):
-        """b_{l+1} = R(b_l - A_l x_l): block-aligned 2x2 sums (coarse
-        chunk rows [rc0, rc1) read exactly fine rows [2rc0, 2rc1))."""
+    def restrict_rows(l, res_rows):
+        """b_{l+1} = R(residual): block-aligned 2x2 sums (coarse chunk
+        rows [rc0, rc1) read exactly fine rows [2rc0, 2rc1));
+        res_rows(fr0, fr1) supplies the fine residual rows."""
         Yc, Xc = shapes[l + 1]
         Cc = chunks[l + 1]
         for c in range(Yc // Cc):
             rc0, rc1 = c * Cc, (c + 1) * Cc
             fr0, fr1 = 2 * rc0, 2 * rc1
-            res = b_l[l][fr0:fr1] - apply_rows(l, x_l[l], fr0, fr1)
+            res = res_rows(fr0, fr1)
             q = res.reshape(Cc, 2, shapes[l][1])
             yt = q[:, 0, :] + q[:, 1, :]
             b_l[l + 1][rc0:rc1] = jnp.dot(
                 yt, Rx[l][...], preferred_element_type=f32
             )
+
+    def restrict_from_rr(l):
+        """Restriction reading the smoother-maintained residual: valid
+        immediately after a keep_rr cheby (rr = b - A x exactly — the
+        smoother's recurrence IS the residual update)."""
+        restrict_rows(l, lambda fr0, fr1: rr_l[l][fr0:fr1])
+
+    def restrict_full(l):
+        """Restriction recomputing b - A x (x changed since the last rr
+        update — the prolongation added a coarse correction)."""
+        restrict_rows(
+            l,
+            lambda fr0, fr1: (
+                b_l[l][fr0:fr1] - apply_rows(l, x_l[l], fr0, fr1)
+            ),
+        )
 
     def prolong_add(l):
         """x_l += P x_{l+1}: each fine cell adds its parent's value
@@ -304,32 +386,40 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                 out = flf * out
             x_l[l][fr0:fr1] = x_l[l][fr0:fr1] + out
 
-    def cycle(l):
-        """z = M^{-1} r at l = 0 (x_0 accumulates into z_ref; b_0 is
-        r_ref).  Truncated W: levels < w_depth recurse `w` times (except
-        directly above the coarsest)."""
+    def cycle(l, dot_b: bool = False):
+        """z = M^{-1} r at l = 0 (x_0 is built in z_ref; b_0 is r_ref).
+        Truncated W: levels < w_depth recurse `w` times (except directly
+        above the coarsest).  Returns sum(x_l[l] * b_l[l]) when dot_b
+        (accumulated inside the final smoothing sweep)."""
         if l == L - 1:
-            cheby(l, coarse_degree, from_zero=True)
-            return
-        cheby(l, cheby_degree, from_zero=True)
+            return cheby(l, coarse_degree, from_zero=True, dot_b=dot_b)
+        # pre-smooth keeps rr = b - A x current so the first restriction
+        # reads it instead of re-applying A on every fine row
+        cheby(l, cheby_degree, from_zero=True, keep_rr=True)
+        restrict_from_rr(l)
         visits = w if (l < w_depth and l + 1 < L - 1) else 1
 
-        def visit(_i, c):
-            restrict(l)
+        if visits == 1:
             cycle(l + 1)
             prolong_add(l)
-            return c
-
-        if visits == 1:
-            visit(0, None)
         else:
             # fori rather than a Python loop: the unrolled W-recursion
             # multiplies every sub-level's emitted code by its visit
             # count (1, 2, 4, 8 ... = 31 level-visits at 1024²), which
             # blew Mosaic's compile past 9 minutes; looping the visits
             # emits each level's body once
+            def visit(i, c):
+                cycle(l + 1)
+                prolong_add(l)
+
+                @pl.when(i + 1 < visits)
+                def _revisit():
+                    # x changed via prolong_add: recompute the residual
+                    restrict_full(l)
+                return c
+
             jax.lax.fori_loop(0, visits, visit, None)
-        cheby(l, cheby_degree, from_zero=False)
+        return cheby(l, cheby_degree, from_zero=False, dot_b=dot_b)
 
     return cycle, apply_rows
 
@@ -356,6 +446,18 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
     )
 
     # ---- PCG (stopping rule of main.c:738-767) ----
+    # Loop shape (round 5): the preconditioner cycle sits at the TOP of
+    # the body, so (a) its code is emitted ONCE (the old pre-loop
+    # "initial cycle" duplicated the whole cycle program), (b) the loop
+    # exits right after the convergence check — the old body ran a dead
+    # cycle + dots + s-update on its final iteration, ~1 cycle of ~17
+    # wasted per solve — and (c) the residual max rides the carry, so no
+    # post-loop r sweep.  s (and the running A s plane) start at zero:
+    # the first iteration's beta multiplies them by a garbage-but-finite
+    # coefficient with exact-zero operands, yielding s = z, As = A z —
+    # bit-exact classical PCG.  A s is maintained by the linearity
+    # recurrence A s' = A z + beta (A s) (the pcg_stream_kernel pattern),
+    # fusing the old s-update sweep into the apply+dot sweep.
     Y0, X0 = shapes[0]
     C0 = chunks[0]
     nchunks0 = Y0 // C0
@@ -365,6 +467,8 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
         r0, r1 = c * C0, (c + 1) * C0
         if not warm:
             p_ref[r0:r1] = jnp.zeros((C0, X0), f32)
+        s_ref[r0:r1] = jnp.zeros((C0, X0), f32)
+        as_ref[r0:r1] = jnp.zeros((C0, X0), f32)
         rmax0 = jnp.maximum(rmax0, jnp.max(jnp.abs(r_ref[r0:r1])))
     nonzero = rmax0 != 0.0
     tol_eff = jnp.maximum(jnp.asarray(tol, f32),
@@ -388,38 +492,37 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
             r = r_ref[r0:r1] - apply_rows(0, p_ref, r0, r1)
             r_ref[r0:r1] = r
             rwarm = jnp.maximum(rwarm, jnp.max(jnp.abs(r)))
-        # the guess may already satisfy the tolerance (NaN-robust form)
+        # the guess may already satisfy the tolerance (NaN-robust form);
+        # all_zero early-out (main.c:742) folds in via ~nonzero — the
+        # inactive-substep fast path (sim.py dt_proj = inf) produces an
+        # exactly-zero RHS every discarded substep
         done0 = (~nonzero) | jnp.logical_not(rwarm > tol_eff)
+        rmax_init = rwarm
     else:
         done0 = ~nonzero
-
-    # all_zero early-out (main.c:742): skip even the initial W-cycle —
-    # the inactive-substep fast path (sim.py dt_proj = inf) produces an
-    # exactly-zero RHS every discarded substep
-    @pl.when(jnp.logical_not(done0))
-    def _initial_cycle():
-        cycle(0)
-
-    sigma0 = jnp.zeros((), f32)
-    for c in range(nchunks0):
-        r0, r1 = c * C0, (c + 1) * C0
-        z = jnp.where(nonzero, z_ref[r0:r1], jnp.zeros((C0, X0), f32))
-        s_ref[r0:r1] = z
-        sigma0 = sigma0 + jnp.sum(z * r_ref[r0:r1])
+        rmax_init = rmax0
 
     def cond(carry):
-        sigma, i, done = carry
+        sigma, i, done, rmax = carry
         return (~done) & (i < max_iters)
 
     def body(carry):
-        sigma, i, done = carry
+        sigma, i, done, _rmax = carry
+        # z = M^{-1} r and sigma_new = <z, r> in the same cycle
+        sigma_new = cycle(0, dot_b=True)
+        beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
+
+        # s' = z + beta s; As' = A z + beta As; zs = <As', s'>
         zs = jnp.zeros((), f32)
         for c in range(nchunks0):
             r0, r1 = c * C0, (c + 1) * C0
-            As = apply_rows(0, s_ref, r0, r1)
-            as_ref[r0:r1] = As
-            zs = zs + jnp.sum(As * s_ref[r0:r1])
-        alpha = sigma / jnp.where(zs != 0, zs, 1.0)
+            Az = apply_rows(0, z_ref, r0, r1)
+            s_new = z_ref[r0:r1] + beta * s_ref[r0:r1]
+            as_new = Az + beta * as_ref[r0:r1]
+            s_ref[r0:r1] = s_new
+            as_ref[r0:r1] = as_new
+            zs = zs + jnp.sum(as_new * s_new)
+        alpha = sigma_new / jnp.where(zs != 0, zs, 1.0)
 
         rmax = jnp.zeros((), f32)
         for c in range(nchunks0):
@@ -430,26 +533,13 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
             rmax = jnp.maximum(rmax, jnp.max(jnp.abs(r)))
         # NaN-robust (see project.py)
         conv = jnp.logical_not(rmax > tol_eff)
+        return (sigma_new, i + 1, conv, rmax)
 
-        cycle(0)
-        sigma_new = jnp.zeros((), f32)
-        for c in range(nchunks0):
-            r0, r1 = c * C0, (c + 1) * C0
-            sigma_new = sigma_new + jnp.sum(z_ref[r0:r1] * r_ref[r0:r1])
-        beta = sigma_new / jnp.where(sigma != 0, sigma, 1.0)
-        for c in range(nchunks0):
-            r0, r1 = c * C0, (c + 1) * C0
-            s_ref[r0:r1] = z_ref[r0:r1] + beta * s_ref[r0:r1]
-        return (sigma_new, i + 1, conv)
-
-    _, i, _ = jax.lax.while_loop(cond, body, (sigma0, jnp.int32(0), done0))
+    _, i, _, rmax_f = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), f32), jnp.int32(0), done0, rmax_init)
+    )
     iters_ref[0, 0] = i
-    rmax = jnp.zeros((), f32)
-    for c in range(nchunks0):
-        rmax = jnp.maximum(
-            rmax, jnp.max(jnp.abs(r_ref[c * C0:(c + 1) * C0]))
-        )
-    resid_ref[0, 0] = rmax
+    resid_ref[0, 0] = rmax_f
 
 
 def mg_host_operands(cfg: SimConfig, a_diag, fluid):
@@ -542,8 +632,10 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
     n_in = 1 + 1 + 1 + 3 * (L - 1) + 2 * (L - 1) + (1 if warm else 0)
     in_specs = [vmem, smem] + [vmem] * (n_in - 2)
     operands = [b.astype(f), coef_rows, packed0, *coef_planes, *Rx, *RxT]
+    aliases = {0: 3}  # b buffer becomes the residual
     if warm:
         operands.append(x0.astype(f))
+        aliases[n_in - 1] = 0  # the guess buffer becomes p
     out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -554,7 +646,7 @@ def solve_pressure_mg_pallas(cfg: SimConfig, b, a_diag, fluid, solid,
         ],
         in_specs=in_specs,
         out_specs=[vmem, smem, smem, vmem],
-        input_output_aliases={0: 3},  # b buffer becomes the residual
+        input_output_aliases=aliases,
         scratch_shapes=mg_scratch_shapes(shapes),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,

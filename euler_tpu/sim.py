@@ -188,6 +188,13 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
         u2, v2, _iters, _resid, msq = project_pallas(
             cfg, dt_proj, ut, vt, fluid, solid
         )
+        if state.p is not None:
+            # this kernel does not expose its pressure, so the carried
+            # plane would silently stop meaning "previous substep
+            # pressure"; zero it so any downstream mg warm start
+            # degrades to a cold start rather than consuming an
+            # arbitrary-age guess (ADVICE r4)
+            state = state.replace(p=jnp.zeros_like(state.p))
     else:
         u2, v2, _info = project(cfg, dt_proj, ut, vt, fluid, solid,
                                 p0=state.p)

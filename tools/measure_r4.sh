@@ -19,14 +19,14 @@ run() {
 }
 
 # headline: all round-4 defaults (mg converged + warm start + K=16)
-run "1024-mg-warm-k16"   --frames 24 --no-also-speed
+run "1024-mg-warm-k16"   --frames 24 --slots-per-cell 16 --marker-tile 128x256 --no-also-speed
 # A/B: warm start off (same kernels, isolates the iteration saving)
-run "1024-mg-cold-k16"   --frames 24 --no-warm-start --no-also-speed
+run "1024-mg-cold-k16"   --frames 24 --slots-per-cell 16 --marker-tile 128x256 --no-warm-start --no-also-speed
 # A/B: round-3 store depth (isolates the K=16 lossless-store cost)
 run "1024-mg-warm-k8"    --frames 24 --slots-per-cell 8 --no-also-speed
 # converged scaling rows (VERDICT r3 missing #3)
 run "2048-mg-warm"       --frames 8 --size 2048 --no-also-speed
 run "4096-mg-warm"       --frames 4 --size 4096 --warmup-frames 2 --no-also-speed
 # speed mode at the new store depth
-run "1024-jacobi-k16"    --frames 24 --precon jacobi
+run "1024-jacobi-k16"    --frames 24 --slots-per-cell 16 --marker-tile 128x256 --precon jacobi
 echo done >> "$OUT"
