@@ -64,6 +64,37 @@ def _block_rows(Y: int, X: int, F: int) -> int:
     return max(c, step)
 
 
+def _vmem_plan(Y: int, X: int, shapes, ls: int, F: int):
+    """(BH, est_bytes): the largest stream-window height whose total
+    VMEM estimate — triple-buffered windows + the resident sub-hierarchy
+    (7 planes/level) + the lane-transfer matrices (RxF/RxFT are [X, Xr]
+    f32: 16.8M EACH at 4096²) — fits the chip with Mosaic headroom.
+
+    Round 4 measured the fixed BH=128 plan missing 4096² VMEM by 6.28M
+    (134.28M of 128M, MEASURE_r4.jsonl.err); halving BH to 64 saves
+    ~18.9M of window at ~12% more halo over-read — the difference
+    between a converged 4096² solve and none."""
+    res_shapes = shapes[ls:]
+    resident = sum(7 * Yl * Xl * 4 for Yl, Xl in res_shapes)
+    transfers = 2 * sum(
+        res_shapes[l][1] * res_shapes[l + 1][1] * 4
+        for l in range(len(res_shapes) - 1)
+    ) + 2 * X * res_shapes[0][1] * 4
+    budget = 112 * 1024 * 1024  # 128M chip minus Mosaic overhead margin
+    BH = _block_rows(Y, X, F)
+    step = max(8, F)
+
+    def est(bh):
+        return _NBUF * _NSLOT * (bh + 2 * _HALO) * X * 4 + resident + transfers
+
+    while BH > step and est(BH) > budget:
+        nxt = BH - step
+        while nxt > step and Y % nxt:
+            nxt -= step
+        BH = nxt
+    return BH, est(BH)
+
+
 def _pair_matrix_f(Xf: int, Xc: int, F: int) -> np.ndarray:
     """Lane restriction [Xf, Xc] for F-to-1 constant prolongation:
     column j sums fine lanes F*j .. F*j + F - 1."""
@@ -349,7 +380,7 @@ def solve_pressure_mg_stream(cfg: SimConfig, b, a_diag, fluid, solid=None,
     Lr = len(res_shapes)
     F = Y // res_shapes[0][0]
     res_chunks = tuple(_chunk_rows(Yl, Xl) for Yl, Xl in res_shapes)
-    BH = _block_rows(Y, X, F)
+    BH, vmem_est = _vmem_plan(Y, X, shapes, ls, F)
 
     levels = build_galerkin_hierarchy(
         a_diag, fluid, f, min_size=cfg.solver.mg_min_size
@@ -428,10 +459,10 @@ def solve_pressure_mg_stream(cfg: SimConfig, b, a_diag, fluid, solid=None,
             + [pltpu.VMEM(s, f) for s in res_shapes]   # rr_l
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(
-                _NBUF * _NSLOT * (BH + 2 * _HALO) * X * 4
-                + _RES_BUDGET + 48 * 1024 * 1024
-            ),
+            # the _vmem_plan estimate plus margin for Mosaic's own
+            # spills/padding, capped at the 128M chip VMEM
+            vmem_limit_bytes=min(vmem_est + 14 * 1024 * 1024,
+                                 127 * 1024 * 1024),
         ),
         interpret=interpret,
     )(packed, b.astype(f), res_coefs, *coef_planes, *Rx, *RxT, RxF, RxFT)
