@@ -464,15 +464,34 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
             return movc
 
         def overflow_views(KE, movc, stays):
-            """Destinations [DP, K): only arrivals (never stayers — a
-            stayer's rank is bounded by its slot index < KE <= DP) of
-            the 8 neighbour views, starting from the stayer run count."""
+            """Destinations [DP, K): stayers first (a stayer's rank is
+            bounded by its slot index, so only slots k >= DP can spill —
+            for KE <= DP this loop degenerates to the plain run count),
+            then the arrivals of the 8 neighbour views, ranks continuing
+            where the primary pass's run left off.  Generalising the
+            stayer case (round 5) lets the DEEP tier split its
+            destinations too: the old full-depth rebin(K) path held
+            2K accumulator planes live and pushed Mosaic liveness to
+            245.7M of 128M at K=16 (MEASURE_r4.jsonl.err)."""
             nd = ~dead
             run = jnp.zeros((TY, TX), jnp.int32)
-            for k in range(KE):
-                run = run + stays[k].astype(jnp.int32)
             acc_px = [jnp.zeros((TY, TX), f) for _ in range(DP, K)]
             acc_py = [jnp.zeros((TY, TX), f) for _ in range(DP, K)]
+            for k in range(KE):
+                if k >= DP:  # triangular bound: rank <= slot index
+                    spx0k = ssc[bslot * 2 * K + k, SB + 1 : SB + 1 + TY,
+                                SBL + 1 : SBL + 1 + TX]
+                    spy0k = ssc[bslot * 2 * K + K + k,
+                                SB + 1 : SB + 1 + TY,
+                                SBL + 1 : SBL + 1 + TX]
+                    snd = stays[k] & nd
+                    for d in range(DP, min(k + 1, K)):
+                        m = snd & (run == d)
+                        acc_px[d - DP] = jnp.where(m, spx0k,
+                                                   acc_px[d - DP])
+                        acc_py[d - DP] = jnp.where(m, spy0k,
+                                                   acc_py[d - DP])
+                run = run + stays[k].astype(jnp.int32)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     if (dy, dx) == (0, 0):
@@ -547,10 +566,12 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
 
             def own_fast(carry):
                 # no leaver anywhere in the tile: every live slot keeps
-                # its marker in place (rank k == slot k)
+                # its marker in place (rank k == slot k); slots >= DEST
+                # (possible only in the deep tier's split) spill via the
+                # overflow pass
                 run, acc_px, acc_py = carry
                 nd = ~dead
-                for k in range(KE):
+                for k in range(min(KE, DEST)):
                     okk = (k < scnt0) & nd
                     acc_px[k] = jnp.where(okk, spx0[k], acc_px[k])
                     acc_py[k] = jnp.where(okk, spy0[k], acc_py[k])
@@ -561,7 +582,8 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                 nd = ~dead
                 for k in range(KE):
                     snd = stays[k] & nd
-                    for d in range(k + 1):  # triangular bound: rank <= k
+                    # triangular bound: rank <= k; ranks >= DEST spill
+                    for d in range(min(k + 1, DEST)):
                         m = snd & (run == d)
                         acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
                         acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
@@ -661,10 +683,12 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                 out_dma(prev).wait()
 
         if cfg.marker_kmax_specialize and K >= 2 and K > DP:
-            # three tiers for the lossless deep store (K = 16): the two
-            # shallow tiers use the overflow-split primary pass (KE <=
-            # DP keeps stayer ranks below the split); the rare deep tier
-            # (some cell already holds > K//2) runs one full-depth pass.
+            # three tiers for the lossless deep store (K = 16), ALL
+            # using the overflow-split primary pass (destinations < DP
+            # resident, [DP, K) in the gated spill) — the round-4
+            # full-depth deep tier held 2K accumulator planes live and
+            # OOM'd VMEM on chip; overflow_views now handles deep-slot
+            # stayers, so the split is exact at every KE.
             t1, t2 = min(K // 4, DP), min(K // 2, DP)
 
             @pl.when(kmax <= t1)
@@ -677,7 +701,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
 
             @pl.when(kmax > t2)
             def _deep():
-                rebin(K)
+                rebin(K, DP)
         elif cfg.marker_kmax_specialize and K >= 2:
             small = kmax <= K // 2
 
@@ -689,7 +713,7 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
             def _full():
                 rebin(K)
         else:
-            rebin(K)
+            rebin(K, DP if K > DP else None)
 
         if padded_out:
             out_dma(n).start()

@@ -364,3 +364,72 @@ def test_interior_fast_march_matches():
     live2 = np.concatenate([live, live], axis=0)
     np.testing.assert_array_equal(np.asarray(o_fast)[live2],
                                   np.asarray(o_full)[live2])
+
+
+def test_fused_marker_pass_deep_store_overflow():
+    """K = 16 lossless store: the deep tier's SPLIT destination passes
+    (primary d < 8 + gated overflow spill d in [8, 16), including
+    deep-slot STAYERS) must match the jnp pipeline exactly.  Cells are
+    packed to 12 markers so (a) kmax > K//2 forces the deep tier and
+    (b) post-rebin counts exceed the primary depth, exercising the
+    overflow pass — the round-4 full-depth tier this replaces held 2K
+    accumulator planes live and OOM'd chip VMEM (MEASURE_r4.jsonl.err)."""
+    from euler_tpu.ops.markers_slots import refresh_marker_counts_slots
+    from euler_tpu.ops.pallas.marker_fused_kernel import march_rebin_pallas
+
+    cfg = SimConfig(
+        nx=64, ny=64, marker_layout="slots", slots_per_cell=16,
+        solver=SolverConfig(max_iterations=60, dtype="float32"),
+    )
+    scn, st = dam_break(cfg)
+    for _ in range(2):
+        st = step_frame_jit(cfg, scn, st)
+    K, Y, X = cfg.slots_per_cell, cfg.ny, cfg.nx
+
+    # pack: duplicate the first 4 slots (jittered) into slots 4..11 at
+    # every 4-marker cell — 12 > K//2 forces the deep tier, and a
+    # neighbour's arrivals push some cells past the primary depth of 8
+    slots = np.asarray(st.markers.reshape(2 * K, Y, X)).copy()
+    cnt = np.asarray(st.marker_count).copy()
+    full_cells = cnt == 4
+    h = cfg.side_length
+    for k in range(4, 12):
+        for comp in (0, 1):
+            src = slots[comp * K + (k % 4)]
+            bump = np.nextafter(src, src + h * (1 + k))
+            slots[comp * K + k] = np.where(full_cells, bump,
+                                           slots[comp * K + k])
+    cnt = np.where(full_cells, 12, cnt)
+    valid = (np.arange(K)[:, None, None] < cnt[None]).reshape(-1)
+    st2 = st.replace(
+        markers=jnp.asarray(slots).reshape(st.markers.shape),
+        marker_count=jnp.asarray(cnt),
+        alive=jnp.asarray(valid).reshape(st.alive.shape),
+        alive_count=jnp.asarray(int(cnt.sum()), jnp.int32),
+    )
+    assert int(np.max(cnt)) == 12  # deep tier (kmax > K//2) under test
+
+    dt = jnp.float32(0.035)
+    ref = refresh_marker_counts_slots(
+        cfg, scn, advect_markers_slots(cfg, scn, st2, dt)
+    )
+    assert int(np.max(np.asarray(ref.marker_count))) > 8  # spill fires
+    dead = (scn.sink | scn.solid).astype(jnp.float32)
+    oslots, count, dropped = march_rebin_pallas(
+        cfg, st2.u, st2.v, st2.fluid, scn.solid,
+        st2.markers.reshape(2 * K, Y, X), dt,
+        st2.marker_count, interpret=True, dead=dead,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(count), np.asarray(ref.marker_count)
+    )
+    assert int(dropped.sum()) == (
+        int(ref.dropped_markers) - int(st2.dropped_markers)
+    )
+    opx, opy = oslots[:K], oslots[K:]
+    rpx, rpy, rva = slot_views(cfg, ref)
+    m = np.asarray(rva)
+    np.testing.assert_allclose(np.asarray(opx)[m], np.asarray(rpx)[m],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(opy)[m], np.asarray(rpy)[m],
+                               atol=1e-4)
