@@ -485,12 +485,21 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                                 SB + 1 : SB + 1 + TY,
                                 SBL + 1 : SBL + 1 + TX]
                     snd = stays[k] & nd
-                    for d in range(DP, min(k + 1, K)):
-                        m = snd & (run == d)
-                        acc_px[d - DP] = jnp.where(m, spx0k,
-                                                   acc_px[d - DP])
-                        acc_py[d - DP] = jnp.where(m, spy0k,
-                                                   acc_py[d - DP])
+                    if cfg.marker_packed_insert:
+                        rk = jnp.where(snd, run, jnp.int32(-1))
+                        for d in range(DP, min(k + 1, K)):
+                            m = rk == d
+                            acc_px[d - DP] = jnp.where(m, spx0k,
+                                                       acc_px[d - DP])
+                            acc_py[d - DP] = jnp.where(m, spy0k,
+                                                       acc_py[d - DP])
+                    else:
+                        for d in range(DP, min(k + 1, K)):
+                            m = snd & (run == d)
+                            acc_px[d - DP] = jnp.where(m, spx0k,
+                                                       acc_px[d - DP])
+                            acc_py[d - DP] = jnp.where(m, spy0k,
+                                                       acc_py[d - DP])
                 run = run + stays[k].astype(jnp.int32)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
@@ -507,6 +516,31 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                     def insert_view(carry, _ys=ys, _xs=xs, _sels=sels):
                         run, acc_px, acc_py = carry
                         for k in range(KE):
+                            if cfg.marker_packed_insert:
+                                def body_k(c, _k=k, _yy=_ys, _xx=_xs,
+                                           _sel=_sels[k]):
+                                    run, acc_px, acc_py = c
+                                    spx = ssc[bslot * 2 * K + _k,
+                                              SB + _yy : SB + _yy + TY,
+                                              SBL + _xx : SBL + _xx + TX]
+                                    spy = ssc[bslot * 2 * K + K + _k,
+                                              SB + _yy : SB + _yy + TY,
+                                              SBL + _xx : SBL + _xx + TX]
+                                    rk = jnp.where(_sel & nd, run,
+                                                   jnp.int32(-1))
+                                    for d in range(DP, K):
+                                        m = rk == d
+                                        acc_px[d - DP] = jnp.where(
+                                            m, spx, acc_px[d - DP])
+                                        acc_py[d - DP] = jnp.where(
+                                            m, spy, acc_py[d - DP])
+                                    return (run + _sel.astype(jnp.int32),
+                                            acc_px, acc_py)
+
+                                run, acc_px, acc_py = jax.lax.cond(
+                                    jnp.any(_sels[k]), body_k,
+                                    lambda c: c, (run, acc_px, acc_py))
+                                continue
                             spx = ssc[bslot * 2 * K + k,
                                       SB + _ys : SB + _ys + TY,
                                       SBL + _xs : SBL + _xs + TX]
@@ -582,11 +616,23 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                 nd = ~dead
                 for k in range(KE):
                     snd = stays[k] & nd
-                    # triangular bound: rank <= k; ranks >= DEST spill
-                    for d in range(min(k + 1, DEST)):
-                        m = snd & (run == d)
-                        acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
-                        acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
+                    if cfg.marker_packed_insert:
+                        # masked rank: -1 at non-candidates, so the
+                        # destination scan is one compare + two selects
+                        # per pair (stayers are the common case — no
+                        # any() gate, it would almost always be true)
+                        rk = jnp.where(snd, run, jnp.int32(-1))
+                        for d in range(min(k + 1, DEST)):
+                            m = rk == d
+                            acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
+                            acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
+                    else:
+                        # triangular bound: rank <= k; ranks >= DEST
+                        # spill
+                        for d in range(min(k + 1, DEST)):
+                            m = snd & (run == d)
+                            acc_px[d] = jnp.where(m, spx0[k], acc_px[d])
+                            acc_py[d] = jnp.where(m, spy0[k], acc_py[d])
                     run = run + stays[k].astype(jnp.int32)
                 return run, acc_px, acc_py
 
@@ -615,6 +661,37 @@ def _fused_kernel(cfg: SimConfig, TY, TX, RW, LW, RWS, LWS, SB, SBL,
                         run, acc_px, acc_py = carry
                         nd = ~dead
                         for k in range(KE):
+                            if cfg.marker_packed_insert:
+                                # packed: skip this slot's whole
+                                # destination scan when it has no
+                                # candidate anywhere in the tile (run
+                                # would also not change); otherwise use
+                                # the masked rank — one compare + two
+                                # selects per (slot, dest) pair
+                                def body_k(c, _k=k, _yy=_ys, _xx=_xs,
+                                           _sel=_sels[k], _nd=nd):
+                                    run, acc_px, acc_py = c
+                                    spx = ssc[bslot * 2 * K + _k,
+                                              SB + _yy : SB + _yy + TY,
+                                              SBL + _xx : SBL + _xx + TX]
+                                    spy = ssc[bslot * 2 * K + K + _k,
+                                              SB + _yy : SB + _yy + TY,
+                                              SBL + _xx : SBL + _xx + TX]
+                                    rk = jnp.where(_sel & _nd, run,
+                                                   jnp.int32(-1))
+                                    for d in range(DEST):
+                                        m = rk == d
+                                        acc_px[d] = jnp.where(
+                                            m, spx, acc_px[d])
+                                        acc_py[d] = jnp.where(
+                                            m, spy, acc_py[d])
+                                    return (run + _sel.astype(jnp.int32),
+                                            acc_px, acc_py)
+
+                                run, acc_px, acc_py = jax.lax.cond(
+                                    jnp.any(_sels[k]), body_k,
+                                    lambda c: c, (run, acc_px, acc_py))
+                                continue
                             spx = ssc[bslot * 2 * K + k,
                                       SB + _ys : SB + _ys + TY,
                                       SBL + _xs : SBL + _xs + TX]

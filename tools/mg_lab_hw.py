@@ -182,12 +182,12 @@ def main():
     for frame, b, a_diag, fluid in systems:
         try:
             p, iters, resid = solve_pressure_pallas(
-                jcfg, b, a_diag, fluid, solid)
+                jcfg, b, a_diag, fluid)
             it0 = int(iters)
             tm0 = time.perf_counter()
             for _ in range(args.reps):
                 p, iters, resid = solve_pressure_pallas(
-                    jcfg, b, a_diag, fluid, solid)
+                    jcfg, b, a_diag, fluid)
             resid_f = float(resid)
             ms = (time.perf_counter() - tm0) / args.reps * 1e3
             emit({"schedule": "jacobi-100", "frame": frame, "iters": it0,
