@@ -22,10 +22,14 @@ kernel keeps one-launch MG-PCG at any grid size:
     computes res = r - A(r/theta) = r - A r/theta on the fly), and the
     post-smooth is one sweep.
 
-Per PCG iteration: 5 streamed sweeps, ~21 fine-plane-streams (reads 15 +
-writes 6) — ~1.3 GB at 4096² vs the jacobi speed mode's 100 iterations
-x 13 streams.  Stopping rule: the reference's (<= max_iterations,
-inf-norm tol, main.c:735-767) + the f32-native tol_rel.
+Per PCG iteration: 4 streamed sweeps, 17 fine-plane-streams (reads 12 +
+writes 5) — ~1.1 GB at 4096² vs the jacobi speed mode's 100 iterations
+x 13 streams.  Round 5 fused the prolong sweep into the post-smooth
+(the coarse correction is resident, so x = r/theta + fl·P ec is
+computable on the halo rows A x needs — no x HBM plane at all) and
+carries the residual max out of the loop (no post-loop r re-read).
+Stopping rule: the reference's (<= max_iterations, inf-norm tol,
+main.c:735-767) + the f32-native tol_rel.
 """
 
 from __future__ import annotations
@@ -120,7 +124,7 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
                       packed_hbm, b_hbm, res_coefs_ref, *refs):
     """refs: resident coef planes [c,e,n per level], resident Rx, RxT,
     then outputs [p_hbm, iters, resid, r_hbm(aliased b), s_hbm, as_hbm,
-    x_hbm, z_hbm], then scratch [wins, sems, resident x/b/d/rr planes]."""
+    z_hbm], then scratch [wins, sems, resident x/b/d/rr planes]."""
     f32 = jnp.float32
     Lr = len(res_shapes)
     max_iters = cfg.solver.max_iterations
@@ -140,8 +144,8 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
     RxFT = refs[o + 1]     # [Xr, X]
     o += 2
     (p_hbm, iters_ref, resid_ref, r_hbm, s_hbm, as_hbm,
-     x_hbm, z_hbm) = refs[o:o + 8]
-    o += 8
+     z_hbm) = refs[o:o + 7]
+    o += 7
     wins, sems = refs[o], refs[o + 1]
     o += 2
     x_l = list(refs[o:o + Lr])
@@ -270,36 +274,60 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
         # ---- resident sub-cycle ----
         res_cycle(0)
 
-        # ---- prolong: x = r/theta + fl * P ec ----
-        def prolong_compute(m, buf):
-            pk = wins[buf, 0, sl]
-            fl, _ = decode(pk)
-            ec = x_l[0][m * (BH // F):(m + 1) * (BH // F)]
-            xe = jnp.dot(ec, RxFT[...], preferred_element_type=f32)
-            # row duplication via stack+reshape (the lowering mg_kernel's
-            # prolong_add already exercises) rather than broadcast_to
-            up = jnp.stack([xe] * F, axis=1).reshape(BH, X)
-            wins[buf, 5, sl] = it0 * wins[buf, 1, sl] + fl * up
-
-        sweep([(0, packed_hbm, False), (1, r_hbm, False)],
-              [(5, x_hbm)], prolong_compute)
-
-        # ---- post-smooth: z = x + (r - A x)/theta; zr = <z, r> ----
+        # ---- prolong + post-smooth FUSED (round 5): the coarse
+        # correction ec lives in RESIDENT VMEM, so x = r/theta + fl·P ec
+        # is computable on the ±1 halo rows the post-smooth's A x needs
+        # directly from the already-haloed packed/r windows — the old
+        # x HBM plane (1 write + 1 haloed read per iteration) and its
+        # whole prolong sweep disappear: z = x + (r - A x)/theta and
+        # <z, r> come out of ONE sweep reading packed + r.  21 -> 17
+        # plane-streams and 5 -> 4 sweeps per PCG iteration. ----
         acc = {"zr": jnp.zeros((), f32)}
+        Bc = BH // F
+        Yc0 = res_shapes[0][0]
 
-        def post_compute(m, buf):
-            _, Ax = fine_lap(buf, 5, m)
+        def fused_post(m, buf):
+            # coarse rows covering fine rows [m*BH - F, (m+1)*BH + F)
+            lo_c = max(m * Bc - 1, 0)
+            hi_c = min((m + 1) * Bc + 1, Yc0)
+            ec = x_l[0][lo_c:hi_c]
+            xe = jnp.dot(ec, RxFT[...], preferred_element_type=f32)
+            up_ext = jnp.stack([xe] * F, axis=1).reshape(
+                (hi_c - lo_c) * F, X)
+            # x needed on global fine rows [m*BH - 1, (m+1)*BH + 1);
+            # rows outside the grid are zero (zero-Dirichlet), matching
+            # zero_edge's treatment of the old x_hbm haloed read
+            need_lo = m * BH - 1
+            need_hi = (m + 1) * BH + 1
+            src_lo = lo_c * F
+            pad_lo = max(src_lo - need_lo, 0)
+            pad_hi = max(need_hi - hi_c * F, 0)
+            up_x = up_ext[need_lo + pad_lo - src_lo:
+                          need_hi - pad_hi - src_lo]
+            if pad_lo or pad_hi:
+                up_x = jnp.concatenate(
+                    [jnp.zeros((pad_lo, X), f32), up_x,
+                     jnp.zeros((pad_hi, X), f32)])
+            pkw = zero_edge(wins[buf, 0], m, -_HALO)
+            rw = zero_edge(wins[buf, 1], m, -_HALO)
+            ext = slice(_HALO - 1, _HALO + BH + 1)
+            fl_e, a_e = decode(pkw[ext])
+            x_e = it0 * rw[ext] + fl_e * up_x        # (BH + 2, X)
+            x_i = x_e[1:BH + 1]
+            Ax = fl_e[1:BH + 1] * (
+                a_e[1:BH + 1] * x_i
+                - (shl(x_i) + shr(x_i) + x_e[2:BH + 2] + x_e[0:BH]))
             r = wins[buf, 1, sl]
-            z = wins[buf, 5, sl] + it0 * (r - Ax)
+            z = x_i + it0 * (r - Ax)
             wins[buf, 5, sl] = z
             acc["zr"] = acc["zr"] + jnp.sum(z * r)
 
-        sweep([(0, packed_hbm, True), (5, x_hbm, True), (1, r_hbm, False)],
-              [(5, z_hbm)], post_compute)
+        sweep([(0, packed_hbm, True), (1, r_hbm, True)],
+              [(5, z_hbm)], fused_post)
         return acc["zr"]
 
     def body(carry):
-        sigma, i, done = carry
+        sigma, i, done, _rmax = carry
         sigma_new = stream_cycle()
         beta = jnp.where(i == 0, 0.0,
                          sigma_new / jnp.where(sigma != 0, sigma, 1.0))
@@ -343,26 +371,19 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
         )
         # NaN-robust (see project.py)
         conv = jnp.logical_not(acc2["rmax"] > tol_eff)
-        return (sigma_new, i + 1, conv)
+        return (sigma_new, i + 1, conv, acc2["rmax"])
 
     def cond(carry):
-        sigma, i, done = carry
+        sigma, i, done, rmax = carry
         return (~done) & (i < max_iters)
 
-    _, i, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), f32), jnp.int32(0), ~nonzero)
+    # rmax rides the carry (mg_kernel round-5 pattern) — no post-loop
+    # r re-read sweep; the all-zero early-out reports resid = rmax0 = 0
+    _, i, _, rmax_f = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), f32), jnp.int32(0), ~nonzero, rmax0)
     )
     iters_ref[0, 0] = i
-
-    acc3 = {"rmax": jnp.zeros((), f32)}
-
-    def rn_compute(m, buf):
-        acc3["rmax"] = jnp.maximum(
-            acc3["rmax"], jnp.max(jnp.abs(wins[buf, 1, sl]))
-        )
-
-    sweep([(1, r_hbm, False)], [], rn_compute)
-    resid_ref[0, 0] = acc3["rmax"]
+    resid_ref[0, 0] = rmax_f
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -444,11 +465,10 @@ def solve_pressure_mg_stream(cfg: SimConfig, b, a_diag, fluid, solid=None,
             jax.ShapeDtypeStruct((Y, X), f),          # r (aliases b)
             jax.ShapeDtypeStruct((Y, X), f),          # s (HBM scratch)
             jax.ShapeDtypeStruct((Y, X), f),          # As
-            jax.ShapeDtypeStruct((Y, X), f),          # x
             jax.ShapeDtypeStruct((Y, X), f),          # z
         ],
         in_specs=[hbm, hbm, smem] + [vmem] * n_coef_in,
-        out_specs=[hbm, smem, smem, hbm, hbm, hbm, hbm, hbm],
+        out_specs=[hbm, smem, smem, hbm, hbm, hbm, hbm],
         input_output_aliases={1: 3},
         scratch_shapes=(
             [pltpu.VMEM((_NBUF, _NSLOT, BH + 2 * _HALO, X), f),
