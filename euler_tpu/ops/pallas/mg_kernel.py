@@ -175,9 +175,22 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
     packed0 may be None: then level 0 uses the edge-weight form and
     coef[0] must hold its (c, e, n) refs — the configuration the
     HBM-streamed solver uses, whose resident ROOT level is itself a
-    Galerkin coarse level (mg_stream_kernel.py)."""
+    Galerkin coarse level (mg_stream_kernel.py).
+
+    Returns (cycle, apply_rows, zref_l): zref_l[l] is the ref holding
+    level l's cycle output.  For degree-1 smoothing (the default) the
+    post-smooth is ONE hazard-free pass z = x + (b - A x)/theta written
+    into the level's d plane (dead at degree 1), so zref_l[l] is d_l[l]
+    there and x_l[l] otherwise — callers must read the cycle result
+    through zref_l, not x_l."""
     L = len(shapes)
     f32 = jnp.float32
+    # degree-1 post-smooth fuses init+step into one pass writing the d
+    # plane; reading x (never written in that pass) is hazard-free at
+    # any chunking.  The coarsest level has no post-smooth.
+    fuse_post = cheby_degree == 1
+    zref_l = [(d_l[l] if fuse_post and l < L - 1 else x_l[l])
+              for l in range(L)]
 
     def decode0(r0, r1):
         pk = packed0[r0:r1]
@@ -234,8 +247,18 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         for c in range(Yl // C):
             fn(c * C, (c + 1) * C)
 
+    def _restrict_chunk(l, rr, r0, r1):
+        """b_{l+1} rows [r0/2, r1/2) from fine residual rows [r0, r1)
+        already in registers — the fused form of restrict_from_rr
+        (round 5): the rr plane is never written or re-read."""
+        q = rr.reshape((r1 - r0) // 2, 2, shapes[l][1])
+        yt = q[:, 0, :] + q[:, 1, :]
+        b_l[l + 1][r0 // 2:r1 // 2] = jnp.dot(
+            yt, Rx[l][...], preferred_element_type=f32
+        )
+
     def cheby(l, degree: int, from_zero: bool, keep_rr: bool = False,
-              dot_b: bool = False):
+              dot_b: bool = False, restrict_to: bool = False):
         """x_l[l] (+)= Chebyshev correction: `degree` steps on
         [lmax/ratio, lmax] (ratio baked into the SMEM schedule;
         Gershgorin bound).  from_zero: the initial iterate is an
@@ -275,6 +298,22 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         single = shapes[l][0] == chunks[l]
         acc = {"dot": jnp.zeros((), f32)}
 
+        if degree == 1 and not from_zero and fuse_post:
+            # ONE pass: z = x + (b - A x)/theta into the d plane (the
+            # caller reads the result via zref_l[l]).  x is never
+            # written here, so the cross-chunk A x halo reads are
+            # hazard-free at any chunking — the old init (d = rr/theta)
+            # + stepN (x += d) pair collapses, same arithmetic order
+            def fused(r0, r1):
+                bb = b_l[l][r0:r1]
+                rr = bb - apply_rows(l, x_l[l], r0, r1)
+                z = x_l[l][r0:r1] + rr * inv_theta
+                d_l[l][r0:r1] = z
+                if dot_b:
+                    acc["dot"] = acc["dot"] + jnp.sum(z * bb)
+            for_chunks(l, fused)
+            return acc["dot"]
+
         if not from_zero:
             def init(r0, r1):
                 rr = b_l[l][r0:r1] - apply_rows(l, x_l[l], r0, r1)
@@ -292,7 +331,12 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                     x = inv_theta * bb
                     if (not last) or keep_rr:
                         rr = bb - inv_theta * apply_rows(l, b_l[l], r0, r1)
-                        rr_l[l][r0:r1] = rr
+                        if last and restrict_to:
+                            # the following restriction consumes rr
+                            # right here — no rr plane write/read
+                            _restrict_chunk(l, rr, r0, r1)
+                        else:
+                            rr_l[l][r0:r1] = rr
                     if not last:
                         d_l[l][r0:r1] = c_prev * x + c_r * rr
                     x_l[l][r0:r1] = x
@@ -307,9 +351,12 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                     x = x_l[l][r0:r1] + d_l[l][r0:r1]
                     x_l[l][r0:r1] = x
                     if keep_rr:
-                        rr_l[l][r0:r1] = (
-                            rr_l[l][r0:r1] - apply_rows(l, d_l[l], r0, r1)
-                        )
+                        rr = (rr_l[l][r0:r1]
+                              - apply_rows(l, d_l[l], r0, r1))
+                        if restrict_to:
+                            _restrict_chunk(l, rr, r0, r1)
+                        else:
+                            rr_l[l][r0:r1] = rr
                     if dot_b:
                         acc["dot"] = acc["dot"] + jnp.sum(x * b_l[l][r0:r1])
                 for_chunks(l, stepN)
@@ -353,12 +400,6 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
                 yt, Rx[l][...], preferred_element_type=f32
             )
 
-    def restrict_from_rr(l):
-        """Restriction reading the smoother-maintained residual: valid
-        immediately after a keep_rr cheby (rr = b - A x exactly — the
-        smoother's recurrence IS the residual update)."""
-        restrict_rows(l, lambda fr0, fr1: rr_l[l][fr0:fr1])
-
     def restrict_full(l):
         """Restriction recomputing b - A x (x changed since the last rr
         update — the prolongation added a coarse correction)."""
@@ -370,14 +411,16 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         )
 
     def prolong_add(l):
-        """x_l += P x_{l+1}: each fine cell adds its parent's value
-        (masked by the fluid plane at level 0 only — coarse-level
-        couplings toward inactive cells are zero, so junk is inert)."""
+        """x_l += P z_{l+1}: each fine cell adds its parent's cycle
+        output (read via zref_l — the fused d1 post-smooth leaves it in
+        the d plane), masked by the fluid plane at level 0 only —
+        coarse-level couplings toward inactive cells are zero, so junk
+        is inert."""
         Yc, Xc = shapes[l + 1]
         Cc = chunks[l + 1]
         for c in range(Yc // Cc):
             rc0, rc1 = c * Cc, (c + 1) * Cc
-            ew = x_l[l + 1][rc0:rc1]
+            ew = zref_l[l + 1][rc0:rc1]
             xe = jnp.dot(ew, RxT[l][...], preferred_element_type=f32)
             out = jnp.stack([xe, xe], axis=1).reshape(2 * Cc, shapes[l][1])
             fr0, fr1 = 2 * rc0, 2 * rc1
@@ -393,10 +436,11 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
         (accumulated inside the final smoothing sweep)."""
         if l == L - 1:
             return cheby(l, coarse_degree, from_zero=True, dot_b=dot_b)
-        # pre-smooth keeps rr = b - A x current so the first restriction
-        # reads it instead of re-applying A on every fine row
-        cheby(l, cheby_degree, from_zero=True, keep_rr=True)
-        restrict_from_rr(l)
+        # pre-smooth maintains rr = b - A x through its last step and
+        # the first restriction consumes it IN-REGISTER (restrict_to):
+        # no separate restriction pass, no rr plane write/read
+        cheby(l, cheby_degree, from_zero=True, keep_rr=True,
+              restrict_to=True)
         visits = w if (l < w_depth and l + 1 < L - 1) else 1
 
         if visits == 1:
@@ -421,7 +465,7 @@ def make_mg_cycle(shapes, chunks, cheby_degree: int, coarse_degree: int,
             jax.lax.fori_loop(0, visits, visit, None)
         return cheby(l, cheby_degree, from_zero=False, dot_b=dot_b)
 
-    return cycle, apply_rows
+    return cycle, apply_rows, zref_l
 
 
 def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
@@ -440,10 +484,11 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
     initial residual becomes b - A p0.  The stopping tolerance stays
     anchored to ||b||_inf — exactly the cold solve's target."""
     f32 = jnp.float32
-    cycle, apply_rows = make_mg_cycle(
+    cycle, apply_rows, zref_l = make_mg_cycle(
         shapes, chunks, cheby_degree, coarse_degree, w, w_depth,
         coefs_ref, packed0, coef, Rx, RxT, x_l, b_l, d_l, rr_l,
     )
+    zr0 = zref_l[0]  # where the cycle leaves z (d plane for degree 1)
 
     # ---- PCG (stopping rule of main.c:738-767) ----
     # Loop shape (round 5): the preconditioner cycle sits at the TOP of
@@ -516,8 +561,8 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
         zs = jnp.zeros((), f32)
         for c in range(nchunks0):
             r0, r1 = c * C0, (c + 1) * C0
-            Az = apply_rows(0, z_ref, r0, r1)
-            s_new = z_ref[r0:r1] + beta * s_ref[r0:r1]
+            Az = apply_rows(0, zr0, r0, r1)
+            s_new = zr0[r0:r1] + beta * s_ref[r0:r1]
             as_new = Az + beta * as_ref[r0:r1]
             s_ref[r0:r1] = s_new
             as_ref[r0:r1] = as_new

@@ -154,12 +154,13 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
     rr_l = list(refs[o + 3 * Lr:o + 4 * Lr])
     assert o + 4 * Lr == len(refs), (o, Lr, len(refs))
 
-    res_cycle, _ = make_mg_cycle(
+    res_cycle, _, res_zref = make_mg_cycle(
         res_shapes, res_chunks,
         cfg.solver.mg_cheby_degree, cfg.solver.mg_coarse_iters,
         2 if cfg.solver.mg_cycle == "w" else 1, cfg.solver.mg_w_depth,
         res_coefs_ref, None, coef, Rx, RxT, x_l, b_l, d_l, rr_l,
     )
+    ec_ref = res_zref[0]  # the resident root's cycle output plane
 
     # ---------------- streaming machinery (pcg_stream pattern) --------
     def rd(slot, hbm, m, halo: bool):
@@ -290,7 +291,7 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
             # coarse rows covering fine rows [m*BH - F, (m+1)*BH + F)
             lo_c = max(m * Bc - 1, 0)
             hi_c = min((m + 1) * Bc + 1, Yc0)
-            ec = x_l[0][lo_c:hi_c]
+            ec = ec_ref[lo_c:hi_c]
             xe = jnp.dot(ec, RxFT[...], preferred_element_type=f32)
             up_ext = jnp.stack([xe] * F, axis=1).reshape(
                 (hi_c - lo_c) * F, X)

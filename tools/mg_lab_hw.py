@@ -138,6 +138,17 @@ def main():
                               mg_w_depth=2),
         # W with minimal depth
         "wd1-d2":        dict(mg_cheby_degree=2, mg_w_depth=1),
+        # round 5: coarse-solve share isolation — ci is the coarsest
+        # level's Chebyshev degree; the default ladder visits the
+        # coarsest 4x per W-cycle, so the ci4->ci12->ci24 slope in
+        # us/iter isolates what the 32² coarse solve costs per
+        # iteration (candidate for an MXU dense solve if large)
+        "d1-wd2-ci4":    dict(mg_cheby_degree=1, mg_w_depth=2,
+                              mg_coarse_iters=4),
+        "d1-wd2-ci24":   dict(mg_cheby_degree=1, mg_w_depth=2,
+                              mg_coarse_iters=24),
+        # round 5: fine-pass share isolation at fixed coarse work
+        "d1-v":          dict(mg_cheby_degree=1, mg_cycle="v"),
     }
     names = args.schedules or list(SCHEDULES)
 
