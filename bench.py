@@ -125,6 +125,10 @@ def main():
     ap.add_argument("--slots-per-cell", type=int, default=None,
                     help="slot-store depth K (default: config default, "
                          "16 = lossless; 8 = round-3 store, A/B flag)")
+    ap.add_argument("--packed-insert", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="masked-rank + per-slot-gated re-binning "
+                         "insertion (round 5; A/B flag)")
     ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="after the headline (mg) line is printed, also "
@@ -289,6 +293,7 @@ def _measure(args, precon, tol_rel, overrides=None):
             marker_padded_store=(args.padded_store and args.pallas
                                  and not args.cpu and args.batch == 1),
             marker_kmax_specialize=kmax_spec,
+            marker_packed_insert=args.packed_insert,
             solver=SolverConfig(
                 max_iterations=args.pcg_iters,
                 tol=1e-6,

@@ -306,9 +306,13 @@ def _stream_mg_kernel(cfg: SimConfig, res_shapes, res_chunks,
             up_x = up_ext[need_lo + pad_lo - src_lo:
                           need_hi - pad_hi - src_lo]
             if pad_lo or pad_hi:
-                up_x = jnp.concatenate(
-                    [jnp.zeros((pad_lo, X), f32), up_x,
-                     jnp.zeros((pad_hi, X), f32)])
+                # only nonzero pieces — a 0-row operand is an invalid
+                # Mosaic vector type
+                parts = ([jnp.zeros((pad_lo, X), f32)] if pad_lo else [])
+                parts.append(up_x)
+                if pad_hi:
+                    parts.append(jnp.zeros((pad_hi, X), f32))
+                up_x = jnp.concatenate(parts)
             pkw = zero_edge(wins[buf, 0], m, -_HALO)
             rw = zero_edge(wins[buf, 1], m, -_HALO)
             ext = slice(_HALO - 1, _HALO + BH + 1)

@@ -1,23 +1,25 @@
 #!/bin/bash
-# Round-5 hardware measurement queue.  One JSON line per config to
-# MEASURE_r5.jsonl (+ a marker line naming the config); stderr goes to
-# MEASURE_r5.jsonl.err interleaved with config names so per-config
-# failures stay attributable (VERDICT r3 weak #3 discipline).
+# Round-5 hardware measurement queue — SNAPSHOT-BASED.
 #
-# Priority order for the hardware day:
-#   1. the new-defaults converged headline (pass-count-reworked MG-PCG +
-#      MXU Galerkin coarsening — MG_LAB_r5 measured 3.1-3.5 ms/solve vs
-#      round-4's 7.5) — this is VERDICT r4 item 1's "done" row;
-#   2. warm-start A/B (VERDICT item 7 discriminator at the new cost);
-#   3. converged scaling rows: 2048 (item 9) and 4096 (item 3 — the
-#      adaptive stream-window rework should now fit 128M VMEM);
-#   4. K=16 lossless store (item 5 — split destination passes);
-#   5. the stale A/B queue (item 8): batch-8 HostBatchRunner, rainbow,
-#      padded-store, tile geometry.
-# Serialize: never two TPU processes at once.
+# Lesson from the first launch: each `run` row starts a fresh Python
+# that imports the LIVE working tree, so kernel edits made while the
+# queue runs contaminate later rows (the first 2048 row imported a
+# mid-edit stream kernel).  The runner now executes from an immutable
+# git-worktree snapshot of HEAD; results still land in the repo.
+#
+# Usage: bash tools/measure_r5.sh [phaseA|phaseB|phaseC|all]
 set -u
-cd "$(dirname "$0")/.."
-OUT=MEASURE_r5.jsonl
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+SNAP=/tmp/euler_snap_r5
+OUT="$ROOT/MEASURE_r5.jsonl"
+PHASE="${1:-all}"
+
+git -C "$ROOT" worktree remove --force "$SNAP" 2>/dev/null || true
+rm -rf "$SNAP"
+git -C "$ROOT" worktree add --detach "$SNAP" HEAD >/dev/null
+echo "{\"snapshot\": \"$(git -C "$SNAP" rev-parse --short HEAD)\"}" >> "$OUT"
+cd "$SNAP"
+
 run() {
   echo "{\"config\": \"$1\"}" >> "$OUT"
   echo "=== config: $1 ===" >> "$OUT.err"
@@ -27,20 +29,36 @@ run() {
     python bench.py "$@" 2>>"$OUT.err" | tail -1 >> "$OUT"
 }
 
-# 1. headline: round-5 defaults (mg converged, K=8, warm start per config.py)
-run "1024-mg-warm"   3000 --frames 24 --no-also-speed
-# 2. A/B: warm start off (same kernels; isolates iteration savings at the
-#    new ~160-190 us/iter cost where a saved iteration is worth less)
-run "1024-mg-cold"   1800 --frames 24 --no-warm-start --no-also-speed
-# 3. converged scaling
-run "2048-mg"        3000 --frames 8 --size 2048 --no-also-speed
-run "4096-mg"        3600 --frames 4 --size 4096 --warmup-frames 2 --no-also-speed
-# 4. lossless store (split destination passes; VMEM-sized this round)
-run "1024-mg-k16"    3000 --frames 24 --slots-per-cell 16 --marker-tile 128x256 --no-also-speed
-# 5. stale A/B queue (each reuses the headline's compiled kernels where
-#    shapes match; batch/rainbow/padded change shapes -> own compiles)
-run "1024-batch8"    3000 --frames 24 --batch 8 --no-also-speed
-run "1024-rainbow"   1800 --frames 24 --rainbow --no-also-speed
-run "1024-padded"    1800 --frames 24 --padded-store --no-also-speed
-run "1024-tile-256x256" 1800 --frames 24 --marker-tile 256x256 --no-also-speed
+tool() {
+  local name="$1" budget="$2"
+  shift 2
+  echo "=== tool: $name ===" >> "$OUT.err"
+  timeout "$budget" python "$@" 2>>"$OUT.err" >>"$OUT.err"
+}
+
+if [ "$PHASE" = all ] || [ "$PHASE" = phaseA ]; then
+  # the VERDICT "done"-bar rows first
+  run "1024-mg-packed"  3000 --frames 24 --no-also-speed
+  run "2048-mg"         3000 --frames 8 --size 2048 --no-also-speed
+  run "4096-mg"         3600 --frames 4 --size 4096 --warmup-frames 2 --no-also-speed
+  run "1024-mg-k16"     3000 --frames 24 --slots-per-cell 16 --marker-tile 128x256 --no-also-speed
+fi
+
+if [ "$PHASE" = all ] || [ "$PHASE" = phaseB ]; then
+  # diagnostics: converged-frame profile, coarse-share lab, warm-start
+  # iters evidence (tools write their own artifacts into $SNAP; copy)
+  tool profile 1800 tools/profile_step.py --precon mg --tol-rel 1e-4 --frames 2
+  tool mg_lab  3000 tools/mg_lab_hw.py --schedules d1-wd2-ci4 d1-wd2-ci24 d1-v --out "$ROOT/MG_LAB_r5.jsonl"
+  tool iters   3000 tools/iters_trajectory.py --out "$ROOT/ITERS_r5.jsonl"
+fi
+
+if [ "$PHASE" = all ] || [ "$PHASE" = phaseC ]; then
+  # A/Bs: packed-insert off, warm-start off, then the stale r3 queue
+  run "1024-mg-nopacked" 3000 --frames 24 --no-packed-insert --no-also-speed
+  run "1024-mg-cold"     3000 --frames 24 --no-warm-start --no-also-speed
+  run "1024-batch8"      3000 --frames 24 --batch 8 --no-also-speed
+  run "1024-padded"      2400 --frames 24 --padded-store --no-also-speed
+  run "1024-rainbow"     2400 --frames 24 --rainbow --no-also-speed
+  run "1024-tile-256x256" 2400 --frames 24 --marker-tile 256x256 --no-also-speed
+fi
 echo done >> "$OUT"
