@@ -29,6 +29,11 @@ run() {
     python bench.py "$@" 2>>"$OUT.err" | tail -1 >> "$OUT"
 }
 
+# full 24-frame re-run of the headline config: the phaseA row came
+# back as a 4-frame provisional (the post-rework fused-substep compile
+# ate ~40 of the 49-min budget; it is now in the persistent cache)
+run "1024-mg-packed-full" 2400 --frames 24 --no-also-speed
+
 run "1024-mg-tol2e4" 2400 --frames 24 --tol-rel 2e-4 --no-also-speed
 run "1024-mg-tol5e4" 2400 --frames 24 --tol-rel 5e-4 --no-also-speed
 echo done >> "$OUT"
