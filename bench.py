@@ -129,6 +129,12 @@ def main():
                     default=True,
                     help="masked-rank + per-slot-gated re-binning "
                          "insertion (round 5; A/B flag)")
+    ap.add_argument("--frame-hierarchy", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="rebuild the Galerkin coarse hierarchy once per "
+                         "frame instead of per substep (stale "
+                         "preconditioner; round 5 A/B flag, fused mg "
+                         "path only)")
     ap.add_argument("--also-speed", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="after the headline (mg) line is printed, also "
@@ -305,6 +311,7 @@ def _measure(args, precon, tol_rel, overrides=None):
                 # warm start only helps converged solves; the jacobi
                 # speed mode is iteration-budget-bound and ignores it
                 warm_start=args.warm_start and precon == "mg",
+                mg_frame_hierarchy=args.frame_hierarchy,
             ),
         )
 
@@ -501,6 +508,7 @@ def _headline_record(args, cfg, value, residual, active_substeps, dropped,
         # path honour x0; the HBM-streamed MG at 2048²+ ignores it
         # (solve_pressure docstring) — ADVICE r4
         "warm_start_effective": _warm_start_effective(args, cfg),
+        "frame_hierarchy": bool(cfg.solver.mg_frame_hierarchy),
         **extra,
     }
 

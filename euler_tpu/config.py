@@ -91,6 +91,16 @@ class SolverConfig:
     #                    in edge-weight form; boundary-exact; the
     #                    measured fix for the rate — ops/multigrid.py).
     mg_scheme: str = "galerkin"
+    # Rebuild the Galerkin coarse hierarchy once per FRAME (from the
+    # frame's incoming fluid mask) instead of once per substep, and let
+    # the 8 substeps' solves precondition with the stale coarse levels.
+    # The Krylov-side fine operator and the fine Chebyshev row are
+    # always rebuilt from the current mask, so converged residuals are
+    # unaffected — staleness can only cost PCG iterations.  The
+    # per-substep rebuild was 45% of the round-4 frame before the MXU
+    # coarsening (PERF.md round 5); this removes 7/8 of what remains.
+    # OFF by default pending the on-chip A/B (round-5 queue).
+    mg_frame_hierarchy: bool = False
     # Cycle shape for mg_scheme="galerkin": "w" (level-independent
     # iteration counts with constant prolongation — measured 15-17 PCG
     # iters from 256² to 1024²) or "v" (cheaper per cycle, counts grow

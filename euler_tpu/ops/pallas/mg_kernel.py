@@ -587,12 +587,48 @@ def _mg_pcg_solve(shapes, chunks, max_iters: int, tol: float,
     resid_ref[0, 0] = rmax_f
 
 
-def mg_host_operands(cfg: SimConfig, a_diag, fluid):
+def mg_coarse_bundle(cfg: SimConfig, a_diag, fluid):
+    """The coarse-level half of `mg_host_operands`, as a reusable pytree:
+    (coarse edge-weight planes, coarse Gershgorin bounds).
+
+    With cfg.solver.mg_frame_hierarchy the frame loop builds this ONCE
+    from the frame's incoming fluid mask and every substep's solve
+    reuses it — a STALE preconditioner.  Validity: PCG only needs the
+    preconditioner to be a fixed SPD operator within one solve; the
+    Krylov-side fine operator (packed0) and the fine Chebyshev row are
+    always rebuilt from the CURRENT mask, so the solve still converges
+    to the true tol_rel residual of the current system — staleness can
+    only cost iterations, never correctness.  The per-substep Galerkin
+    rebuild profiled at 45% of the round-4 frame (PERF.md round 5);
+    this trades 7/8 of its residue for a few extra PCG iterations."""
+    from euler_tpu.ops.multigrid import build_galerkin_hierarchy
+
+    f = jnp.float32
+    levels = build_galerkin_hierarchy(
+        a_diag, fluid, f, min_size=cfg.solver.mg_min_size
+    )
+    coef_planes = []
+    for lv in levels[1:]:
+        coef_planes += [lv.c, lv.e, lv.n]
+    coarse_lmax = [lv.lmax for lv in levels[1:]]
+    return tuple(coef_planes), tuple(coarse_lmax)
+
+
+def mg_host_operands(cfg: SimConfig, a_diag, fluid, coarse=None):
     """Host-side (XLA) operand construction shared by the standalone MG
     solver and the fused-substep kernel: level shapes/chunks, the packed
     level-0 plane, the Galerkin coarse edge-weight planes, the Chebyshev
-    coefficient rows (SMEM), and the lane-transfer matrices."""
-    from euler_tpu.ops.multigrid import build_galerkin_hierarchy
+    coefficient rows (SMEM), and the lane-transfer matrices.
+
+    `coarse` (optional, from `mg_coarse_bundle`) substitutes precomputed
+    coarse planes/bounds and skips the per-substep Galerkin rebuild; the
+    fine level (packed0 + its Chebyshev row) is always current — an
+    under-estimated fine lmax makes Chebyshev diverge, so the fine
+    Gershgorin bound is never reused across masks."""
+    from euler_tpu.ops.multigrid import (
+        build_galerkin_hierarchy,
+        fine_edge_level,
+    )
 
     Y, X = cfg.ny, cfg.nx
     f = jnp.float32
@@ -600,16 +636,23 @@ def mg_host_operands(cfg: SimConfig, a_diag, fluid):
     L = len(shapes)
     chunks = tuple(_chunk_rows(Yl, Xl) for Yl, Xl in shapes)
 
-    levels = build_galerkin_hierarchy(
-        a_diag, fluid, f, min_size=cfg.solver.mg_min_size
-    )
-    assert len(levels) == L, (len(levels), L)
+    if coarse is None:
+        levels = build_galerkin_hierarchy(
+            a_diag, fluid, f, min_size=cfg.solver.mg_min_size
+        )
+        assert len(levels) == L, (len(levels), L)
+        coef_planes = []
+        for lv in levels[1:]:
+            coef_planes += [lv.c, lv.e, lv.n]
+        lmaxs = [lv.lmax for lv in levels]
+    else:
+        coef_planes, coarse_lmax = coarse
+        coef_planes = list(coef_planes)
+        assert len(coef_planes) == 3 * (L - 1), (len(coef_planes), L)
+        lmaxs = [fine_edge_level(a_diag, fluid, f).lmax] + list(coarse_lmax)
     # level 0 enters as the packed PCG-matrix plane (shared with the
     # Jacobi kernel's encoding); coarse levels as edge-weight planes
     packed0 = a_diag.astype(f) * fluid.astype(f) + 8.0 * fluid.astype(f)
-    coef_planes = []
-    for lv in levels[1:]:
-        coef_planes += [lv.c, lv.e, lv.n]
     # Chebyshev schedules, precomputed OUTSIDE the kernel (pure functions
     # of each level's Gershgorin bound): one SMEM row per level,
     # [inv_theta, c_prev_0, c_r_0, c_prev_1, c_r_1, ...].  The coarsest
@@ -618,13 +661,13 @@ def mg_host_operands(cfg: SimConfig, a_diag, fluid):
     deg_c = cfg.solver.mg_coarse_iters
     ncoef = 1 + 2 * max(deg_s, deg_c)
     rows = []
-    for l, lv in enumerate(levels):
+    for l, lmax in enumerate(lmaxs):
         if l == L - 1:
             it, cf = cheby_coefficients(
-                lv.lmax.astype(f), deg_c, float(cfg.solver.mg_coarse_ratio))
+                lmax.astype(f), deg_c, float(cfg.solver.mg_coarse_ratio))
         else:
             it, cf = cheby_coefficients(
-                lv.lmax.astype(f), deg_s, float(cfg.solver.mg_cheby_ratio))
+                lmax.astype(f), deg_s, float(cfg.solver.mg_cheby_ratio))
         vals = [it] + [v for pair in cf for v in pair]
         vals += [jnp.zeros((), f)] * (ncoef - len(vals))
         rows.append(jnp.stack([jnp.asarray(v, f) for v in vals]))

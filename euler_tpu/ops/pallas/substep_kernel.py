@@ -325,7 +325,7 @@ def _substep_kernel(cfg: SimConfig, shapes, chunks,
 @functools.partial(jax.jit, static_argnums=(0, 9))
 def project_substep_mg(cfg: SimConfig, dt, dt_proj, u, v, fluid,
                        prev_fluid, solid, p0=None,
-                       interpret: bool = False):
+                       interpret: bool = False, mg_coarse=None):
     """One-launch grid stage + projection.  Returns
     (u2, v2, iterations, residual, msq, p); msq feeds the next substep's
     CFL dt and p (this substep's clamped pressure) the next substep's
@@ -333,14 +333,16 @@ def project_substep_mg(cfg: SimConfig, dt, dt_proj, u, v, fluid,
     RHS scale (sim.py passes +inf on inactive substeps so the solve
     early-outs on an exactly-zero RHS).  `p0` seeds the PCG when
     cfg.solver.warm_start (it aliases the p output, so the pressure
-    plane round-trips the substep scan in place)."""
+    plane round-trips the substep scan in place).  `mg_coarse` (from
+    mg_kernel.mg_coarse_bundle) substitutes a frame-stale coarse
+    hierarchy, skipping the per-substep Galerkin rebuild."""
     from euler_tpu.ops.project import pressure_matrix_diag
 
     Y, X = cfg.ny, cfg.nx
     f = jnp.float32
     a_diag = pressure_matrix_diag(cfg, solid, fluid)
     (shapes, chunks, packed0, coef_planes, coef_rows, Rx,
-     RxT) = mg_host_operands(cfg, a_diag, fluid)
+     RxT) = mg_host_operands(cfg, a_diag, fluid, coarse=mg_coarse)
     L = len(shapes)
 
     fl = fluid.astype(f)

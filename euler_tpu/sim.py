@@ -79,7 +79,8 @@ def _use_fused_projection(cfg: SimConfig) -> bool:
 
 
 def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
-            active=None, defer_alive: bool = False, marker_pass=None):
+            active=None, defer_alive: bool = False, marker_pass=None,
+            mg_coarse=None):
     """One CFL substep (the body of main.c:851-893), dt already chosen.
 
     Returns (state, msq) where msq = maxsq(u) + maxsq(v) of the projected
@@ -93,7 +94,9 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
     (slots + fused kernel only; the caller re-derives it).
     `marker_pass` overrides the march+re-bin implementation (same
     contract as markers_slots.marker_pass_slots) — used by
-    parallel/pallas_shard to substitute the shard_map'd kernel."""
+    parallel/pallas_shard to substitute the shard_map'd kernel.
+    `mg_coarse` (mg_kernel.mg_coarse_bundle) is the frame-stale coarse
+    hierarchy for the fused mg path (cfg.solver.mg_frame_hierarchy)."""
     solid = scn.solid
     _, _, fluid_sources = get_marker_ops(cfg)
 
@@ -145,6 +148,7 @@ def substep(cfg: SimConfig, scn: Scenario, state: FluidState, dt,
             u2, v2, _iters, _resid, msq, p2 = project_substep_mg(
                 cfg, dt, dt_proj, state.u, state.v, fluid, prev, solid,
                 state.p, interpret=cfg.solver.pallas_interpret,
+                mg_coarse=mg_coarse,
             )
         else:
             u2, v2, _iters, _resid, msq = project_substep_jacobi(
@@ -264,6 +268,21 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState,
         or marker_pass is not None
     )
 
+    # Frame-stale coarse hierarchy (cfg.solver.mg_frame_hierarchy): one
+    # Galerkin build per FRAME from the incoming mask, closed over by
+    # the substep scan, instead of one per substep inside it.  Fine
+    # operator + fine Chebyshev row stay per-substep exact (see
+    # mg_kernel.mg_coarse_bundle for the PCG-validity argument).
+    mg_coarse = None
+    if (cfg.solver.mg_frame_hierarchy
+            and cfg.solver.preconditioner == "mg"
+            and _use_fused_substep(cfg, scn)):
+        from euler_tpu.ops.pallas.mg_kernel import mg_coarse_bundle
+        from euler_tpu.ops.project import pressure_matrix_diag
+
+        a0 = pressure_matrix_diag(cfg, scn.solid, state.fluid)
+        mg_coarse = mg_coarse_bundle(cfg, a0, state.fluid)
+
     def body(carry, _):
         state, frame_time, msq = carry
         active = frame_time > 0.0
@@ -274,7 +293,8 @@ def _step_frame_impl(cfg: SimConfig, scn: Scenario, state: FluidState,
         dt = jnp.where(active, dt, jnp.asarray(0.0 if fast else 1.0, f))
         new_state, new_msq = substep(cfg, scn, state, dt, active=active,
                                      defer_alive=defer_alive,
-                                     marker_pass=marker_pass)
+                                     marker_pass=marker_pass,
+                                     mg_coarse=mg_coarse)
         if fast:
             sel = lambda a, b: jnp.where(active, a, b)
             state = new_state.replace(
