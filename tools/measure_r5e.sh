@@ -32,16 +32,27 @@ tool() {
   timeout "$budget" python "$@" 2>>"$OUT.err" >>"$OUT.err"
 }
 
+# Ordered by VERDICT r4 value: headline (item 1 + driver cache prime),
+# 4096/2048 converged (items 3, 9), then the two candidate headline
+# levers (frame-hierarchy, tol ladder — a winning default flip must
+# already be primed in the cache for the driver's end-of-round bench),
+# then k16 lossless (item 5), evidence tools (items 2, 7), A/Bs (4, 7),
+# and the stale r3 queue (8).
 run "1024-mg-headline"  3600 --frames 24
 run "4096-mg"           3600 --frames 4 --size 4096 --warmup-frames 2
-run "1024-mg-k16"       3000 --frames 24 --slots-per-cell 16 --marker-tile 128x256
-run "1024-mg-tol2e4"    3000 --frames 24 --tol-rel 2e-4
+# 2048 retry only if the r5c in-flight row left no metric
+if ! grep -q 'at 2048\^2' "$OUT"; then
+  run "2048-mg-retry"   3600 --frames 8 --size 2048
+fi
 run "1024-mg-fh"        3000 --frames 24 --frame-hierarchy
+run "1024-mg-tol5e4"    3000 --frames 24 --tol-rel 5e-4
+run "1024-mg-k16"       3000 --frames 24 --slots-per-cell 16 --marker-tile 128x256
 tool iters              2400 tools/iters_trajectory.py --out "$ROOT/ITERS_r5.jsonl"
-tool profile            1800 tools/profile_step.py --precon mg --tol-rel 1e-4 --frames 2
 run "1024-mg-cold"      3000 --frames 24 --no-warm-start
 run "1024-mg-nopacked"  3000 --frames 24 --no-packed-insert
-run "1024-mg-tol5e4"    2700 --frames 24 --tol-rel 5e-4
+tool profile            1800 tools/profile_step.py --precon mg --tol-rel 1e-4 --frames 2
+run "1024-mg-tol2e4"    2700 --frames 24 --tol-rel 2e-4
+run "1024-jacobi-speed" 1800 --frames 24 --precon jacobi
 run "1024-batch8"       2700 --frames 24 --batch 8
 run "1024-rainbow"      2400 --frames 24 --rainbow
 run "1024-padded"       2400 --frames 24 --padded-store
