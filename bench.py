@@ -78,7 +78,8 @@ def _watchdog():
             if _provisional is not None:
                 print(json.dumps(_provisional), flush=True)
                 print("bench watchdog: budget expired; emitted the "
-                      "4-frame provisional headline", file=sys.stderr)
+                      "best available measurement (see its note field)",
+                      file=sys.stderr)
                 os._exit(0)
         time.sleep(5)
 
@@ -434,6 +435,25 @@ def _measure(args, precon, tol_rel, overrides=None):
     cell_steps = cells * cfg.max_substeps * total_frames * args.batch
     value = cell_steps / elapsed
 
+    # The full pass is measured: make it the watchdog's emission NOW.
+    # The quality probes below (div_inf, step_frame_stats) are fresh
+    # compiles on a cold cache; if the budget expires inside one, the
+    # watchdog must degrade to "probes missing", never "measurement
+    # lost" (this exact failure ate the r5f headline row: a 2327 s
+    # warmup compile + the stats-probe recompile outran the budget and
+    # only the 4-frame provisional survived).
+    _provisional = {
+        "metric": _metric_name(args),
+        "value": value,
+        "unit": "cell-steps/s",
+        "vs_baseline": value / REFERENCE_CELL_STEPS_PER_SEC,
+        "precon": precon,
+        "measured_frames": total_frames * args.batch,
+        "note": "full measured pass; budget expired during the "
+                "post-pass quality probes (div_inf/substep occupancy "
+                "missing, throughput number is final)",
+    }
+
     # solve-quality probe: inf-norm of the fluid-masked velocity
     # divergence after the final projection, so the JSON records what
     # solve fidelity sits behind the throughput number
@@ -455,15 +475,25 @@ def _measure(args, precon, tol_rel, overrides=None):
     else:
         dropped = int(state.dropped_markers)
         residual = float(div_inf(state))
+        _provisional["post_projection_div_inf"] = residual
         # transparency: how many of the nominal max_substeps the NEXT
         # frame actually runs (the reference's data-dependent substep
-        # loop, main.c:851; inactive substeps are near-free no-ops)
-        from euler_tpu.sim import step_frame_stats
+        # loop, main.c:851; inactive substeps are near-free no-ops).
+        # This jit is a second full-frame program — a multi-minute
+        # compile when the cache is cold — so only attempt it with
+        # real budget headroom.
+        if _elapsed() > 0.75 * _budget():
+            print("bench: skipping the substep-occupancy probe "
+                  f"({_elapsed():.0f}s of {_budget():.0f}s used; it "
+                  "recompiles the full frame)", file=sys.stderr)
+            active_substeps = None
+        else:
+            from euler_tpu.sim import step_frame_stats
 
-        _, n_active = jax.jit(step_frame_stats, static_argnums=0)(
-            cfg, scn, state
-        )
-        active_substeps = int(n_active)
+            _, n_active = jax.jit(step_frame_stats, static_argnums=0)(
+                cfg, scn, state
+            )
+            active_substeps = int(n_active)
 
     return value, residual, active_substeps, dropped, cfg, precon
 
