@@ -55,7 +55,14 @@ def _elapsed():
 
 
 def _budget():
-    return float(os.environ.get("EULER_BENCH_BUDGET_S", "2400"))
+    # Bare-invocation default sized to the DRIVER's kill window, which
+    # is not ours to configure: round-3's driver run died rc=124 with
+    # no output during a ~1680 s cold compile, round-4's died ~950 s in
+    # (during the speed-mode follow-up) — so the external timeout is
+    # somewhere in [950, 1680) s.  1080 puts the watchdog's exit-0
+    # (budget - 20 s) comfortably inside it; measurement queues pass an
+    # explicit EULER_BENCH_BUDGET_S and are unaffected.
+    return float(os.environ.get("EULER_BENCH_BUDGET_S", "1080"))
 
 
 def _watchdog():
