@@ -489,7 +489,7 @@ def _measure(args, precon, tol_rel, overrides=None):
         # This jit is a second full-frame program — a multi-minute
         # compile when the cache is cold — so only attempt it with
         # real budget headroom.
-        if _elapsed() > 0.75 * _budget():
+        if _elapsed() > 0.5 * _budget():
             print("bench: skipping the substep-occupancy probe "
                   f"({_elapsed():.0f}s of {_budget():.0f}s used; it "
                   "recompiles the full frame)", file=sys.stderr)
