@@ -44,11 +44,11 @@ tool() {
   echo "{\"attempted\": \"tool-$name\", \"rc\": $?}" >> "$OUT"
 }
 
-# warm-cache completions (programs compiled during r5f)
-run "1024-mg-headline-full" 1500 --frames 24
-run "1024-mg-fh-full"       1500 --frames 24 --frame-hierarchy
-# named deliverables (cold compiles; VERDICT r4 items 5 and 7)
+# Endgame order (repo-path headline runs separately first via
+# tools/prime_driver_cache.sh): the two cold named deliverables
+# (VERDICT r4 items 3 and 5), then cheap warm-cache completions.
+run "4096-mg"               3600 --frames 4 --size 4096 --warmup-frames 2
 run "1024-mg-k16"           3300 --frames 24 --slots-per-cell 16 --marker-tile 128x256
+run "1024-mg-fh-full"       1500 --frames 24 --frame-hierarchy
 tool iters                  2400 tools/iters_trajectory.py --out "$ROOT/ITERS_r5.jsonl"
-run "1024-mg-cold"          2400 --frames 24 --no-warm-start
 echo '{"queue": "r5g", "done": true}' >> "$OUT"
